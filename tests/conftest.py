@@ -1,0 +1,18 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set env vars before jax is imported anywhere (the driver's bench runs
+on the real TPU chip; tests deliberately use the CPU backend so sharding
+paths can be exercised without N real chips).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
