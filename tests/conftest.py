@@ -1,18 +1,11 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test-dir conftest: make the package importable from a source checkout.
 
-Must set env vars before jax is imported anywhere (the driver's bench runs
-on the real TPU chip; tests deliberately use the CPU backend so sharding
-paths can be exercised without N real chips).
+Backend selection (CPU, 8 virtual devices) happens in the repo-root
+conftest.py, which re-execs pytest with a corrected environment before
+pytest's output capture starts.
 """
 
 import os
 import sys
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
