@@ -1,0 +1,184 @@
+"""High-level one-call API: ``encode(data) -> bytes``, ``decode(blob) -> data``.
+
+What a reference user writes by hand — building the table, driving the
+encode loop, carrying the symbol count and model out-of-band
+(reference examples/sample_impl.rs:72-128) — is one call here, executed
+block-parallel on the device and framed by the container (format.py).
+
+Orchestration is host-side and deliberately thin: chunk the input into
+``(B, L)`` blocks, run the jitted device coder over bounded-size chunks
+(compile once per geometry), trim payloads by the returned lengths, and
+pack.  Capacity overflow (adversarial inputs emitting more than the default
+budget) is detected from the lengths and retried with doubled capacity —
+never silent corruption.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import format as fmt
+from .blocks import FLUSH_BYTES, decode_blocks, default_capacity, encode_blocks
+from .errors import ConfigError, ZeroFrequency
+from .models.table import Pow2Table, build_table_pow2
+
+#: cap on device temp memory: symbols per device invocation
+_CHUNK_SYMBOLS = 1 << 24
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Tunables for the block-parallel codec (the reference hard-codes all
+    of these — SURVEY.md §5 'config system: absent')."""
+
+    k: int = 16  # total_freq = 2**k
+    block_len: int = 512  # symbols per block (L); short blocks keep XLA's run-length compaction bandwidth-bound
+    with_checksums: bool = True
+    chunk_symbols: int = _CHUNK_SYMBOLS
+
+    def __post_init__(self):
+        if not 1 <= self.k <= 16:
+            raise ConfigError(f"k={self.k} out of range [1, 16]")
+        if self.block_len < 1:
+            raise ConfigError(f"block_len={self.block_len} must be >= 1")
+
+
+def _as_symbols(data, alphabet: Optional[int]) -> tuple[np.ndarray, int]:
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    else:
+        arr = np.asarray(data)
+    if arr.ndim != 1:
+        arr = arr.reshape(-1)
+    if arr.size and int(arr.min()) < 0:
+        raise ConfigError("negative symbol indices")
+    inferred = int(arr.max()) + 1 if arr.size else 1
+    a = alphabet if alphabet is not None else max(inferred, 1)
+    if inferred > a:
+        raise ConfigError(f"symbol {inferred - 1} outside alphabet of {a}")
+    return arr.astype(np.int32), a
+
+
+def _encode_rows(
+    rows: np.ndarray, table: Pow2Table, capacity: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Device-encode (B, L) rows, retrying with doubled capacity on overflow."""
+    c = jnp.asarray(table.c)
+    cum = jnp.asarray(table.cum)
+    while True:
+        code, lengths = encode_blocks(
+            jnp.asarray(rows), c, cum, k=table.k, capacity=capacity
+        )
+        lengths_np = np.asarray(lengths)
+        if int(lengths_np.max()) <= capacity:
+            return np.asarray(code), lengths_np
+        capacity *= 2  # rare adversarial blocks; re-encode with more room
+
+
+def encode(
+    data,
+    *,
+    alphabet: Optional[int] = None,
+    config: CodecConfig = CodecConfig(),
+    table: Optional[Pow2Table] = None,
+) -> bytes:
+    """Compress ``data`` (bytes or 1-D integer array) into a container.
+
+    A shared order-0 table is built from the data's histogram unless one is
+    supplied.  Mirrors the reference round-trip driver end-to-end
+    (histogram -> calc_cum -> encode loop -> finish; examples/sample_impl.rs:72-107)
+    but block-parallel on device.
+    """
+    symbols, a = _as_symbols(data, alphabet)
+    n = int(symbols.size)
+    L = config.block_len
+    b = max(1, math.ceil(n / L))
+
+    if table is None:
+        counts = np.bincount(symbols, minlength=a).astype(np.uint64)
+        if n == 0:
+            counts[0] = 1  # degenerate empty input: any valid table
+        table = build_table_pow2(counts, config.k)
+    else:
+        if table.alphabet < a:
+            raise ConfigError(
+                f"table covers {table.alphabet} symbols, data needs {a}"
+            )
+        a = table.alphabet
+        present = np.zeros(a, bool)
+        present[np.unique(symbols)] = True
+        if np.any(present & (table.c == 0)):
+            raise ZeroFrequency(
+                "data contains symbols with zero frequency in the given table"
+            )
+
+    pad_symbol = int(np.argmax(table.c))
+    padded = np.full(b * L, pad_symbol, np.int32)
+    padded[:n] = symbols
+    rows = padded.reshape(b, L)
+
+    rows_per_chunk = max(1, config.chunk_symbols // L)
+    capacity = default_capacity(L, table.k)
+    payloads = []
+    for start in range(0, b, rows_per_chunk):
+        chunk = rows[start : start + rows_per_chunk]
+        code, lengths = _encode_rows(chunk, table, capacity)
+        for i in range(chunk.shape[0]):
+            payloads.append(code[i, : lengths[i]].tobytes())
+
+    return fmt.pack(
+        k=table.k,
+        alphabet=a,
+        block_len=L,
+        n_symbols=n,
+        payloads=payloads,
+        tables_c=table.c,
+        per_block_tables=False,
+        with_checksums=config.with_checksums,
+    )
+
+
+def decode(blob: bytes, *, verify_checksums: bool = True) -> np.ndarray:
+    """Decompress a container back to the symbol array (int32).
+
+    Raises typed errors on malformed input (InvalidHeader, ChecksumMismatch,
+    TruncatedStream semantics become zero-padded windows caught by CRC) —
+    the reference panics in these situations (src/decoder.rs:33).
+    """
+    cont = fmt.unpack(blob, verify_checksums=verify_checksums)
+    if cont.per_block_tables:
+        raise NotImplementedError("per-block adaptive containers: see adaptive.py")
+    b = cont.n_blocks
+    L = cont.block_len
+    n = cont.n_symbols
+
+    cum = np.concatenate([[0], np.cumsum(cont.tables_c)]).astype(np.uint32)
+    c_dev = jnp.asarray(cont.tables_c.astype(np.uint32))
+    cum_dev = jnp.asarray(cum)
+
+    # round capacity up so decode_blocks' compile cache hits across calls
+    cap = -(-max(int(cont.lengths.max()), FLUSH_BYTES) // 1024) * 1024
+    rows_per_chunk = max(1, _CHUNK_SYMBOLS // L)
+    out = np.empty(b * L, np.int32)
+    for start in range(0, b, rows_per_chunk):
+        stop = min(start + rows_per_chunk, b)
+        code = np.zeros((stop - start, cap), np.uint8)
+        for i in range(start, stop):
+            p = cont.payloads[i]
+            code[i - start, : len(p)] = np.frombuffer(p, np.uint8)
+        dec = decode_blocks(
+            jnp.asarray(code), c_dev, cum_dev, k=cont.k, block_len=L
+        )
+        out[start * L : stop * L] = np.asarray(dec).reshape(-1)
+    return out[:n]
+
+
+def decode_bytes(blob: bytes, **kw) -> bytes:
+    """Like :func:`decode` but returns raw bytes (alphabet must be <= 256)."""
+    sym = decode(blob, **kw)
+    return sym.astype(np.uint8).tobytes()

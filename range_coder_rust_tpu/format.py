@@ -1,0 +1,194 @@
+"""The container format — net-new framework surface.
+
+The reference emits a bare byte stream with **no framing at all**: the
+caller must carry the symbol count, the model, and stream boundaries
+out-of-band (reference examples/sample_impl.rs:113-120 passes the count and
+the table by hand; SURVEY.md §3 Stack E).  Block-parallel coding needs a
+container: this module defines a compact, versioned, self-describing layout
+that records everything the decoder needs, localizes corruption to one
+block (per-block CRC32), and makes any block independently decodable (the
+checkpoint/resume property, SURVEY.md §5).
+
+Layout (all integers little-endian):
+
+    offset  size  field
+    0       4     magic  b"RCT1"
+    4       1     version (= 1)
+    5       1     flags   bit0 per-block tables, bit1 per-block CRC32
+    6       1     k       (total_freq = 2**k)
+    7       1     reserved (0)
+    8       4     alphabet size A
+    12      4     block length L (symbols per block)
+    16      8     total symbol count N (last block may be partial)
+    24      4     block count B (= ceil(N / L), >= 1)
+    28      4*B   per-block payload lengths (bytes, incl. 8-byte flush)
+    ...     table c values, uint16[A] if k < 16 else uint32[A]:
+              shared mode: one table; per-block mode: B tables
+    ...     per-block CRC32, uint32[B]            (if flag bit1)
+    ...     payloads, concatenated in block order
+
+The pad symbol for a partial last block is the table's most frequent
+symbol; N truncates it away on decode.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .errors import ChecksumMismatch, InvalidHeader
+
+MAGIC = b"RCT1"
+VERSION = 1
+
+FLAG_PER_BLOCK_TABLES = 1 << 0
+FLAG_CRC32 = 1 << 1
+
+_HEADER = struct.Struct("<4sBBBBIIQI")  # through block count B
+HEADER_BYTES = _HEADER.size
+
+
+@dataclass(frozen=True)
+class Container:
+    """Parsed container: header fields + raw sections."""
+
+    k: int
+    alphabet: int
+    block_len: int
+    n_symbols: int
+    lengths: np.ndarray  # (B,) int64
+    tables_c: np.ndarray  # shared: (A,) uint32; per-block: (B, A) uint32
+    per_block_tables: bool
+    checksums: Optional[np.ndarray]  # (B,) uint32 or None
+    payloads: List[bytes]
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.lengths.shape[0])
+
+
+def _table_dtype(k: int) -> np.dtype:
+    # c values sum to 2**k; a single value can equal 2**16 when k == 16
+    return np.dtype("<u2") if k < 16 else np.dtype("<u4")
+
+
+def pack(
+    *,
+    k: int,
+    alphabet: int,
+    block_len: int,
+    n_symbols: int,
+    payloads: List[bytes],
+    tables_c: np.ndarray,
+    per_block_tables: bool = False,
+    with_checksums: bool = True,
+) -> bytes:
+    """Assemble a container from per-block payloads and table(s)."""
+    b = len(payloads)
+    if b < 1:
+        raise ValueError("need at least one block")
+    flags = (FLAG_PER_BLOCK_TABLES if per_block_tables else 0) | (
+        FLAG_CRC32 if with_checksums else 0
+    )
+    tables_c = np.asarray(tables_c, dtype=np.uint32)
+    want_shape = (b, alphabet) if per_block_tables else (alphabet,)
+    if tables_c.shape != want_shape:
+        raise ValueError(f"tables_c shape {tables_c.shape} != {want_shape}")
+
+    out = bytearray()
+    out += _HEADER.pack(
+        MAGIC, VERSION, flags, k, 0, alphabet, block_len, n_symbols, b
+    )
+    lengths = np.array([len(p) for p in payloads], dtype="<u4")
+    out += lengths.tobytes()
+    out += np.ascontiguousarray(tables_c, dtype=_table_dtype(k)).tobytes()
+    if with_checksums:
+        crcs = np.array([zlib.crc32(p) for p in payloads], dtype="<u4")
+        out += crcs.tobytes()
+    for p in payloads:
+        out += p
+    return bytes(out)
+
+
+def unpack(blob: bytes, *, verify_checksums: bool = True) -> Container:
+    """Parse + validate a container (typed errors, never panics —
+    SURVEY.md §5 failure-detection requirement)."""
+    if len(blob) < HEADER_BYTES:
+        raise InvalidHeader(f"container too short: {len(blob)} bytes")
+    magic, version, flags, k, _rsvd, alphabet, block_len, n_symbols, b = _HEADER.unpack(
+        blob[:HEADER_BYTES]
+    )
+    if magic != MAGIC:
+        raise InvalidHeader(f"bad magic {magic!r}")
+    if version != VERSION:
+        raise InvalidHeader(f"unsupported version {version}")
+    if not 1 <= k <= 16:
+        raise InvalidHeader(f"k={k} out of range [1, 16]")
+    if alphabet < 1 or block_len < 1 or b < 1:
+        raise InvalidHeader(
+            f"bad geometry: alphabet={alphabet} block_len={block_len} blocks={b}"
+        )
+    if n_symbols > b * block_len or (b - 1) * block_len >= n_symbols > 0:
+        if n_symbols > b * block_len:
+            raise InvalidHeader(
+                f"n_symbols={n_symbols} exceeds {b} blocks x {block_len}"
+            )
+        raise InvalidHeader(
+            f"n_symbols={n_symbols} needs fewer than {b} blocks of {block_len}"
+        )
+    per_block = bool(flags & FLAG_PER_BLOCK_TABLES)
+    has_crc = bool(flags & FLAG_CRC32)
+
+    off = HEADER_BYTES
+
+    def take(n: int, what: str) -> bytes:
+        nonlocal off
+        if off + n > len(blob):
+            raise InvalidHeader(f"container truncated in {what}")
+        chunk = blob[off : off + n]
+        off += n
+        return chunk
+
+    lengths = np.frombuffer(take(4 * b, "lengths"), dtype="<u4").astype(np.int64)
+    tdt = _table_dtype(k)
+    n_tables = b if per_block else 1
+    tables = np.frombuffer(
+        take(tdt.itemsize * alphabet * n_tables, "tables"), dtype=tdt
+    ).astype(np.uint32)
+    tables = tables.reshape(b, alphabet) if per_block else tables.reshape(alphabet)
+    # validate table sums
+    sums = tables.sum(axis=-1, dtype=np.int64)
+    if not np.all(sums == 1 << k):
+        raise InvalidHeader(f"table sums {np.unique(sums)} != 2**{k}")
+
+    checksums = None
+    if has_crc:
+        checksums = np.frombuffer(take(4 * b, "checksums"), dtype="<u4").copy()
+
+    payloads: List[bytes] = []
+    for i, ln in enumerate(lengths.tolist()):
+        payloads.append(take(int(ln), f"payload {i}"))
+    if off != len(blob):
+        raise InvalidHeader(f"{len(blob) - off} trailing bytes after payloads")
+
+    if has_crc and verify_checksums:
+        for i, p in enumerate(payloads):
+            actual = zlib.crc32(p)
+            if actual != int(checksums[i]):
+                raise ChecksumMismatch(i, int(checksums[i]), actual)
+
+    return Container(
+        k=k,
+        alphabet=alphabet,
+        block_len=block_len,
+        n_symbols=n_symbols,
+        lengths=lengths,
+        tables_c=tables,
+        per_block_tables=per_block,
+        checksums=checksums,
+        payloads=payloads,
+    )

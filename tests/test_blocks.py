@@ -29,14 +29,14 @@ def scalar_encode_block(symbols, table):
     return enc.finish()
 
 
-def roundtrip(symbols, table, capacity=None, use_lut=True):
+def roundtrip(symbols, table, capacity=None):
     B, L = symbols.shape
     cap = capacity or default_capacity(L, table.k)
     c = jnp.asarray(table.c)
     cum = jnp.asarray(table.cum)
     code, lengths = encode_blocks(jnp.asarray(symbols), c, cum, k=table.k, capacity=cap)
     assert int(np.max(np.asarray(lengths))) <= cap, "capacity overflow"
-    dec = decode_blocks(code, c, cum, k=table.k, block_len=L, use_lut=use_lut)
+    dec = decode_blocks(code, c, cum, k=table.k, block_len=L)
     return np.asarray(code), np.asarray(lengths), np.asarray(dec)
 
 
@@ -109,13 +109,11 @@ def test_roundtrip_k1_binary():
     assert np.array_equal(dec, data)
 
 
-def test_lut_and_searchsorted_agree():
+def test_roundtrip_nonpow2_alphabet():
     data = RNG.integers(0, 100, size=(4, 200))
     table = table_from_data_pow2(data, 100, 12)
-    _, _, dec_lut = roundtrip(data, table, use_lut=True)
-    _, _, dec_ss = roundtrip(data, table, use_lut=False)
-    assert np.array_equal(dec_lut, dec_ss)
-    assert np.array_equal(dec_lut, data)
+    _, _, dec = roundtrip(data, table)
+    assert np.array_equal(dec, data)
 
 
 def test_capacity_overflow_is_detected_not_corrupted():
