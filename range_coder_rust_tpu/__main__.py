@@ -1,0 +1,178 @@
+"""Command-line interface: ``python -m range_coder_rust_tpu <cmd>``.
+
+The reference ships no CLI (its example binary is the closest thing,
+reference examples/sample_impl.rs); the framework provides one for file
+compression, inspection, and benchmarking (SURVEY.md §5 config/bench
+tooling).
+
+Commands:
+  encode   FILE -o OUT [--k K] [--block-len L] [--adaptive] [--no-checksums]
+  decode   FILE -o OUT [--no-verify]
+  inspect  FILE              # print container header/geometry/ratios
+  bench    [--mb N] [--k K]  # delegates to bench.py's harness
+  selftest                   # reference-parity round-trip (sample_impl)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _cmd_encode(args) -> int:
+    data = open(args.file, "rb").read()
+    t0 = time.time()
+    if args.adaptive:
+        from .adaptive import encode_adaptive
+
+        blob = encode_adaptive(
+            data,
+            alphabet=256,
+            k=args.k,
+            block_len=args.block_len,
+            with_checksums=not args.no_checksums,
+        )
+    else:
+        from .api import CodecConfig, encode
+
+        blob = encode(
+            data,
+            alphabet=256,
+            config=CodecConfig(
+                k=args.k,
+                block_len=args.block_len,
+                with_checksums=not args.no_checksums,
+            ),
+        )
+    dt = time.time() - t0
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    ratio = len(blob) / max(len(data), 1)
+    print(
+        f"{len(data)} -> {len(blob)} bytes ({ratio:.3f}, "
+        f"{8 * len(blob) / max(len(data), 1):.3f} bits/byte) in {dt:.2f}s "
+        f"({len(data) / dt / 1e6:.1f} MB/s)"
+    )
+    return 0
+
+
+def _cmd_decode(args) -> int:
+    blob = open(args.file, "rb").read()
+    from . import format as fmt
+
+    cont = fmt.unpack(blob, verify_checksums=False)
+    t0 = time.time()
+    if cont.per_block_tables:
+        from .adaptive import decode_adaptive
+
+        out = decode_adaptive(blob, verify_checksums=not args.no_verify)
+    else:
+        from .api import decode
+
+        out = decode(blob, verify_checksums=not args.no_verify)
+    dt = time.time() - t0
+    with open(args.output, "wb") as f:
+        f.write(out.astype(np.uint8).tobytes())
+    print(f"{len(blob)} -> {out.size} bytes in {dt:.2f}s ({out.size / dt / 1e6:.1f} MB/s)")
+    return 0
+
+
+def _cmd_inspect(args) -> int:
+    from . import format as fmt
+
+    blob = open(args.file, "rb").read()
+    cont = fmt.unpack(blob, verify_checksums=False)
+    payload = int(cont.lengths.sum())
+    print(json.dumps({
+        "k": cont.k,
+        "alphabet": cont.alphabet,
+        "block_len": cont.block_len,
+        "n_symbols": cont.n_symbols,
+        "n_blocks": cont.n_blocks,
+        "per_block_tables": cont.per_block_tables,
+        "checksums": cont.checksums is not None,
+        "payload_bytes": payload,
+        "container_bytes": len(blob),
+        "header_overhead_bytes": len(blob) - payload,
+        "bits_per_symbol": round(8 * payload / max(cont.n_symbols, 1), 4),
+        "mean_block_payload": round(payload / cont.n_blocks, 1),
+    }, indent=2))
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import os
+    import runpy
+
+    os.environ["RC_BENCH_MB"] = str(args.mb)
+    os.environ["RC_BENCH_K"] = str(args.k)
+    sys.argv = ["bench.py"]
+    runpy.run_path(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+        run_name="__main__",
+    )
+    return 0
+
+
+def _cmd_selftest(args) -> int:
+    """The reference's acceptance test (examples/sample_impl.rs:72-128)."""
+    from .core.decoder import Decoder
+    from .core.encoder import Encoder
+    from .models.freq_table import FreqTable
+
+    test_data = [2, 1, 1, 4, 1, 4, 2, 1, 0, 1, 5, 9, 8, 7, 6, 5]
+    ft = FreqTable(10)
+    ft.add_counts(test_data)
+    ft.calc_cum()
+    enc = Encoder()
+    for s in test_data:
+        enc.encode(ft, s)
+    code = enc.finish()
+    dec = Decoder(code)
+    out = [dec.decode(ft) for _ in test_data]
+    assert out == test_data, f"{out} != {test_data}"
+    print(f"selftest passed: {len(code)}-byte stream, round trip exact")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="range_coder_rust_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode", help="compress a file")
+    pe.add_argument("file")
+    pe.add_argument("-o", "--output", required=True)
+    pe.add_argument("--k", type=int, default=16)
+    pe.add_argument("--block-len", type=int, default=512)
+    pe.add_argument("--adaptive", action="store_true", help="per-block tables")
+    pe.add_argument("--no-checksums", action="store_true")
+    pe.set_defaults(fn=_cmd_encode)
+
+    pd = sub.add_parser("decode", help="decompress a container")
+    pd.add_argument("file")
+    pd.add_argument("-o", "--output", required=True)
+    pd.add_argument("--no-verify", action="store_true", help="skip CRC checks")
+    pd.set_defaults(fn=_cmd_decode)
+
+    pi = sub.add_parser("inspect", help="print container metadata")
+    pi.add_argument("file")
+    pi.set_defaults(fn=_cmd_inspect)
+
+    pb = sub.add_parser("bench", help="run the throughput benchmark")
+    pb.add_argument("--mb", type=int, default=64)
+    pb.add_argument("--k", type=int, default=16)
+    pb.set_defaults(fn=_cmd_bench)
+
+    ps = sub.add_parser("selftest", help="reference-parity round trip")
+    ps.set_defaults(fn=_cmd_selftest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

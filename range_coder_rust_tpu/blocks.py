@@ -62,29 +62,15 @@ def default_capacity(block_len: int, k: int) -> int:
     return -(-cap // 4) * 4
 
 
-@functools.partial(jax.jit, static_argnames=("k", "capacity"))
-def encode_blocks(
-    symbols: jax.Array,
-    c: jax.Array,
-    cum: jax.Array,
-    *,
-    k: int,
-    capacity: int,
-) -> Tuple[jax.Array, jax.Array]:
-    """Encode ``(B, L)`` symbol indices into per-block byte streams.
+@functools.partial(jax.jit, static_argnames="k")
+def encode_scan(
+    symbols: jax.Array, c: jax.Array, cum: jax.Array, *, k: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Stage 1: advance all block coders over their symbols.
 
-    Arguments:
-      symbols: ``(B, L)`` integer symbol indices in ``[0, A)``.
-      c / cum: shared pow2-normalized table (models/table.py), uint32
-        ``(A,)`` / ``(A+1,)`` with ``cum[A] == 2**k``.
-      k: log2 of the total frequency (static).
-      capacity: per-block output capacity ``C`` (static); overflowing blocks
-        are detected via the returned lengths (``lengths[b] > C`` means the
-        block must be re-encoded with a larger capacity — excess bytes are
-        truncated, never written out of bounds).
-
-    Returns ``(code, lengths)``: ``code (B, C) uint8`` (garbage past each
-    block's length) and ``lengths (B,) int32`` including the 8 flush bytes.
+    Returns ``(ehi, elo, en, pos, lengths)``: per-transition emitted-low
+    words and byte counts, (B, L+1) with the flush appended (reference
+    src/encoder.rs:40-46), their exclusive prefix sums, and total lengths.
     """
     B, L = symbols.shape
     packed = lookup.pack_table(c, cum)
@@ -103,16 +89,27 @@ def encode_blocks(
     ehi = jnp.concatenate([ehi.T, femit.hi[:, None]], axis=1)  # (B, L+1)
     elo = jnp.concatenate([elo.T, femit.lo[:, None]], axis=1)
     en = jnp.concatenate([en.T, fn[:, None]], axis=1)
-    # materialize the (B, L+1)-major layout before the per-row compaction:
-    # without the barrier XLA fuses the transpose into the vmapped expansion
-    # below as strided column reads, a ~100x slowdown on TPU
-    ehi, elo, en = jax.lax.optimization_barrier((ehi, elo, en))
-
     pos = jnp.cumsum(en, axis=1) - en  # exclusive prefix sum (B, L+1)
     lengths = pos[:, -1] + en[:, -1]
+    return ehi, elo, en, pos, lengths
 
-    # compaction by run-length expansion: for each output byte position,
-    # jnp.repeat delivers its source symbol's emit words and start offset
+
+@functools.partial(jax.jit, static_argnames="capacity")
+def compact_emissions(
+    ehi: jax.Array,
+    elo: jax.Array,
+    en: jax.Array,
+    pos: jax.Array,
+    *,
+    capacity: int,
+) -> jax.Array:
+    """Stage 2: materialize byte streams by run-length expansion.
+
+    For each output byte position, ``jnp.repeat`` delivers its source
+    transition's emit words and start offset — compaction as expansion,
+    no scatter.  Bytes past a block's length are zero.
+    """
+
     def compact_row(eh, el, nn, pp):
         src_hi = jnp.repeat(eh, nn, total_repeat_length=capacity)
         src_lo = jnp.repeat(el, nn, total_repeat_length=capacity)
@@ -127,8 +124,40 @@ def encode_blocks(
         )
         return val.astype(_U8)
 
-    out = jax.vmap(compact_row)(ehi, elo, en, pos)
-    return out, lengths
+    return jax.vmap(compact_row)(ehi, elo, en, pos)
+
+
+def encode_blocks(
+    symbols: jax.Array,
+    c: jax.Array,
+    cum: jax.Array,
+    *,
+    k: int,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Encode ``(B, L)`` symbol indices into per-block byte streams.
+
+    Two separately-jitted stages (scan, then compaction): fused into one
+    program, XLA folds the scan-output transpose into the expansion as
+    strided column reads — a ~100x slowdown; the stage boundary pins the
+    (B, L+1) layout.  Intermediates stay on device.
+
+    Arguments:
+      symbols: ``(B, L)`` integer symbol indices in ``[0, A)``.
+      c / cum: shared pow2-normalized table (models/table.py), uint32
+        ``(A,)`` / ``(A+1,)`` with ``cum[A] == 2**k``.
+      k: log2 of the total frequency (static).
+      capacity: per-block output capacity ``C`` (static); overflowing blocks
+        are detected via the returned lengths (``lengths[b] > C`` means the
+        block must be re-encoded with a larger capacity — excess bytes are
+        truncated, never written out of bounds).
+
+    Returns ``(code, lengths)``: ``code (B, C) uint8`` (zeros past each
+    block's length) and ``lengths (B,) int32`` including the 8 flush bytes.
+    """
+    ehi, elo, en, pos, lengths = encode_scan(symbols, c, cum, k=k)
+    code = compact_emissions(ehi, elo, en, pos, capacity=capacity)
+    return code, lengths
 
 
 def bytes_to_words_be(code: jax.Array) -> jax.Array:

@@ -23,7 +23,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..blocks import decode_blocks, encode_blocks
+from ..blocks import compact_emissions, decode_blocks, encode_scan
 
 #: the single mesh axis name: blocks are the unit of data parallelism
 AXIS = "blocks"
@@ -56,11 +56,20 @@ def make_sharded_codec(
     shard_b = block_sharding(mesh)
     repl = replicated(mesh)
 
-    enc = jax.jit(
-        functools.partial(encode_blocks.__wrapped__, k=k, capacity=capacity),
+    enc_scan = jax.jit(
+        functools.partial(encode_scan.__wrapped__, k=k),
         in_shardings=(shard_b, repl, repl),
-        out_shardings=(shard_b, shard_b),
+        out_shardings=(shard_b,) * 5,
     )
+    enc_compact = jax.jit(
+        functools.partial(compact_emissions.__wrapped__, capacity=capacity),
+        in_shardings=(shard_b,) * 4,
+        out_shardings=shard_b,
+    )
+
+    def enc(symbols, c, cum):
+        ehi, elo, en, pos, lengths = enc_scan(symbols, c, cum)
+        return enc_compact(ehi, elo, en, pos), lengths
     dec = jax.jit(
         functools.partial(decode_blocks.__wrapped__, k=k, block_len=block_len),
         in_shardings=(shard_b, repl, repl),
