@@ -46,7 +46,15 @@ def main() -> None:
     reps = int(os.environ.get("RC_BENCH_REPS", "3"))
     k = int(os.environ.get("RC_BENCH_K", "16"))
 
+    # persistent compile cache: the remote TPU compile service has high and
+    # variable latency; cached executables make re-runs start in seconds
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

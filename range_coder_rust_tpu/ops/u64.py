@@ -329,15 +329,16 @@ def div_small_q(x: U64, y: U64) -> jax.Array:
     """
     sx = clz(x)
     sy = clz(y)
-    # top 24 bits of each operand as exact f32 mantissas
-    mx = shr(shl(x, sx), 40).lo.astype(jnp.float32)
-    my = shr(shl(y, sy), 40).lo.astype(jnp.float32)
+    # top 24 bits of each operand as exact f32 mantissas (cast through i32:
+    # values < 2^24, and Mosaic has no u32<->f32 casts)
+    mx = shr(shl(x, sx), 40).lo.astype(jnp.int32).astype(jnp.float32)
+    my = shr(shl(y, sy), 40).lo.astype(jnp.int32).astype(jnp.float32)
     # x ~= mx * 2^(40 - sx), y ~= my * 2^(40 - sy)  (my truncated => q overestimates
     # by < 2^-23 relative; margin below swallows it)
     e = (sy - sx).astype(jnp.float32)
     q_f = jnp.floor((mx / my) * jnp.exp2(e))
     q_f = jnp.clip(q_f, 0.0, 16777200.0)  # < 2^24, exact in f32
-    q = q_f.astype(_U32)
+    q = q_f.astype(jnp.int32).astype(_U32)
     q = jnp.where(q > _U32(_DIV_EST_MARGIN), q - _U32(_DIV_EST_MARGIN), _U32(0))
     # rem = x - q*y  (underestimate => q*y <= x fits u64, rem >= 0)
     rem = sub(x, mul_u64_u32(y, q))
