@@ -12,9 +12,10 @@ data-dependent access is reformulated (ops/lookup.py):
 
 * table lookups: packed select-accumulate chain (encode) / masked-reduction
   sweep (decode);
-* byte-stream compaction: exclusive-prefix-sum + ``jnp.repeat`` expansion
-  (output-position -> source-symbol mapping computed by run-length
-  expansion, not scatter);
+* byte-stream compaction: a batched one-hot contraction on the MXU — each
+  emission's byte planes land at its start position via
+  ``OH[b, j, i] = (pos[b, i] == j)`` matmul, then 8 static shifted adds
+  (see :func:`compact_emissions`);
 * decoder window: the 64-bit window is just bytes ``[cursor-8, cursor)`` of
   the block's stream (reference src/decoder.rs:27-35), re-extracted each
   step by a masked reduction over the code row.
@@ -94,21 +95,14 @@ def encode_scan(
     return ehi, elo, en, pos, lengths
 
 
-@functools.partial(jax.jit, static_argnames="capacity")
-def compact_emissions(
-    ehi: jax.Array,
-    elo: jax.Array,
-    en: jax.Array,
-    pos: jax.Array,
-    *,
-    capacity: int,
-) -> jax.Array:
-    """Stage 2: materialize byte streams by run-length expansion.
+#: transition-axis length above which compaction falls back from the MXU
+#: one-hot contraction to run-length expansion (the contraction is
+#: O(capacity * L) per block)
+_MATMUL_COMPACT_MAX_L1 = 2049
 
-    For each output byte position, ``jnp.repeat`` delivers its source
-    transition's emit words and start offset — compaction as expansion,
-    no scatter.  Bytes past a block's length are zero.
-    """
+
+def _compact_emissions_expand(ehi, elo, en, pos, capacity):
+    """Long-block fallback: per-byte source via ``jnp.repeat`` expansion."""
 
     def compact_row(eh, el, nn, pp):
         src_hi = jnp.repeat(eh, nn, total_repeat_length=capacity)
@@ -125,6 +119,64 @@ def compact_emissions(
         return val.astype(_U8)
 
     return jax.vmap(compact_row)(ehi, elo, en, pos)
+
+
+@functools.partial(jax.jit, static_argnames="capacity")
+def compact_emissions(
+    ehi: jax.Array,
+    elo: jax.Array,
+    en: jax.Array,
+    pos: jax.Array,
+    *,
+    capacity: int,
+) -> jax.Array:
+    """Stage 2: materialize byte streams — scatter as an MXU one-hot matmul.
+
+    The emissions partition each block's output: transition ``i`` covers
+    bytes ``[pos[i], pos[i] + en[i])``, and bytes past 8 within an emission
+    are zero (ops/transition.py: the emission is the top ``n`` bytes of the
+    64-bit lower bound, zero-padded).  So with byte planes
+
+        planes[b, q, r] = byte ``r`` of the transition starting at ``q``
+                          (0 if no transition starts at ``q`` or ``r >= en``)
+
+    the stream is ``out[b, j] = sum_r planes[b, j - r, r]`` — exactly one
+    term is nonzero.  ``planes`` is a batched one-hot contraction
+    ``OH[b, j, i] = (pos[b, i] == j)`` against the masked byte planes,
+    which XLA fuses into an MXU matmul (measured ~19 ms for 8 M symbols —
+    70x faster than ``jnp.repeat``-based expansion, which lowers through
+    sort + serial fusions; gathers/scatters are similarly slow on TPU).
+    Exact: one-hot and bytes 0..255 are exact in bfloat16, and each output
+    accumulates a single nonzero product in float32.
+
+    The contraction is O(capacity * L) per block — ideal for the flagship
+    short-block geometry (block_len <= ~2048, where it is 70x faster than
+    expansion), quadratic for long blocks, so those fall back to the
+    ``jnp.repeat`` run-length expansion.
+    """
+    B, L1 = en.shape
+    if L1 > _MATMUL_COMPACT_MAX_L1:
+        return _compact_emissions_expand(ehi, elo, en, pos, capacity)
+    r = jnp.arange(8, dtype=jnp.int32)
+    sh = (24 - 8 * (r & 3)).astype(_U32)  # big-endian byte r of each word
+    word = jnp.where(r[None, None, :] < 4, ehi[..., None], elo[..., None])
+    byte = (word >> sh[None, None, :]) & _U32(0xFF)
+    v = jnp.where(r[None, None, :] < en[..., None], byte, _U32(0))
+    v = v.astype(jnp.bfloat16)  # (B, L1, 8), values 0..255 exact
+
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    oh = (pos[:, None, :] == j[None, :, None]).astype(jnp.bfloat16)
+    planes = jax.lax.dot_general(
+        oh,
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (B, capacity, 8)
+
+    out = planes[:, :, 0]
+    for rr in range(1, 8):
+        out = out + jnp.pad(planes[:, : capacity - rr, rr], ((0, 0), (rr, 0)))
+    return out.astype(_U8)
 
 
 def encode_blocks(
