@@ -11,10 +11,12 @@ from .dist import (
     make_sharded_codec,
     replicated,
 )
+from . import multihost
 
 __all__ = [
     "default_mesh",
     "block_sharding",
     "replicated",
     "make_sharded_codec",
+    "multihost",
 ]
