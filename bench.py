@@ -72,10 +72,26 @@ def main() -> None:
     log(f"corpus: {mb} MB, {B} blocks x {L} symbols, k={k}")
 
     t = table_from_data_pow2(data, 256, k)
+
+    # --- scalar baseline FIRST (C++ golden, reference semantics) -----------
+    # measured before any device work: the axon tunnel's host threads
+    # otherwise contend for the 2 cores and understate the baseline
+    sample = data[: max(1, B // 16)].reshape(-1)  # ~4 MB sample
+    t0 = time.time()
+    ref_code = golden.encode(sample, t.c, t.cum[:-1], 1 << k)
+    ref_enc_t = time.time() - t0
+    t0 = time.time()
+    ref_dec = golden.decode(ref_code, sample.size, t.c, t.cum[:-1], 1 << k)
+    ref_dec_t = time.time() - t0
+    assert np.array_equal(ref_dec.astype(np.int64), sample.astype(np.int64))
+    base_gbps = sample.size / 1e9 / (ref_enc_t + ref_dec_t)
+    log(f"scalar C++ baseline: {base_gbps:.3f} GB/s on {sample.size >> 20} MB sample")
+
     c = jax.device_put(jnp.asarray(t.c), dev)
     cum = jax.device_put(jnp.asarray(t.cum), dev)
     cap = default_capacity(L, k)
     syms = jax.device_put(jnp.asarray(data), dev)
+
 
     # --- compile (untimed) -------------------------------------------------
     t0 = time.time()
@@ -110,18 +126,6 @@ def main() -> None:
     gbps = n / 1e9 / (enc_t + dec_t)
     log(f"encode {n / 1e9 / enc_t:.3f} GB/s, decode {n / 1e9 / dec_t:.3f} GB/s, "
         f"combined {gbps:.3f} GB/s")
-
-    # --- scalar baseline (C++ golden, reference semantics) -----------------
-    sample = data[: max(1, B // 16)].reshape(-1)  # ~4 MB sample
-    t0 = time.time()
-    ref_code = golden.encode(sample, t.c, t.cum[:-1], 1 << k)
-    ref_enc_t = time.time() - t0
-    t0 = time.time()
-    ref_dec = golden.decode(ref_code, sample.size, t.c, t.cum[:-1], 1 << k)
-    ref_dec_t = time.time() - t0
-    assert np.array_equal(ref_dec.astype(np.int64), sample.astype(np.int64))
-    base_gbps = sample.size / 1e9 / (ref_enc_t + ref_dec_t)
-    log(f"scalar C++ baseline: {base_gbps:.3f} GB/s on {sample.size >> 20} MB sample")
 
     # compressed-size parity vs scalar reference on the sample
     ref_bits = 8 * len(ref_code) / sample.size

@@ -84,19 +84,29 @@ def _bcast_rows(tile: jax.Array) -> List[jax.Array]:
 
 def _lane_prefix_flat(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Exclusive prefix sum of (8, 128) in flat (sublane-major) lane order,
-    plus the total (scalar)."""
-    inc = n
-    for d in (1, 2, 4, 8, 16, 32, 64):
-        inc = inc + jnp.pad(inc, ((0, 0), (d, 0)))[:, :128]
-    row_tot = inc[:, 127:128]  # (8, 1) inclusive row sums
-    row_excl = jnp.zeros_like(row_tot)
-    acc = row_tot
-    for d in (1, 2, 4):
-        acc_shift = jnp.pad(acc, ((d, 0), (0, 0)))[:8, :]
-        row_excl = row_excl + acc_shift
-        acc = acc + acc_shift
-    # row_excl now = sum of all rows strictly above (doubling trick)
-    excl = inc - n + jnp.broadcast_to(row_excl, (8, 128))
+    plus the total (scalar).
+
+    Implemented as two triangular-ones MXU contractions instead of
+    log-step pad/slice shifts — Mosaic rejects sublane-dim concat/pad with
+    offset mismatches, and the matmuls are exact in f32 (values are byte
+    counts <= 14 * 1024 < 2^24).
+    """
+    nf = n.astype(jnp.float32)
+    # within-row inclusive prefix: inc[s, l] = sum_{l' <= l} n[s, l']
+    iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    jota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    upper = (iota <= jota).astype(jnp.float32)  # U[l', l] = l' <= l
+    inc = jax.lax.dot(nf, upper, precision=jax.lax.Precision.HIGHEST)
+    # rows strictly above: row_excl[s] = sum_{s' < s} sum_l n[s', l]
+    rows = jax.lax.dot(
+        nf, jnp.ones((128, 128), jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # rows[s, l] = row total of s, broadcast over l
+    si = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+    lstrict = (si > sj).astype(jnp.float32)  # L[s, s'] = s' < s
+    row_excl = jax.lax.dot(lstrict, rows, precision=jax.lax.Precision.HIGHEST)
+    excl = (inc - nf + row_excl).astype(jnp.int32)
     total = jnp.sum(n)
     return excl, total
 
@@ -131,8 +141,11 @@ def _fetch16(window: jax.Array, local_byte: jax.Array) -> Tuple[U64, U64]:
 
 def _div_rfreq(dl: U64, rpt: U64, k: int) -> jax.Array:
     """floor(dl / rpt) clamped to 2^k - 1 (ops/u64.div_small_q, which is
-    Mosaic-safe: casts routed through int32, no unsigned reductions)."""
-    return jnp.minimum(u64.div_small_q(dl, rpt), _U32((1 << k) - 1))
+    Mosaic-safe: casts routed through int32, no unsigned reductions).
+    The clamp is compare+select — Mosaic has no vector ``minui``."""
+    q = u64.div_small_q(dl, rpt)
+    cap = _U32((1 << k) - 1)
+    return jnp.where(q < cap, q, cap)
 
 
 def _decode_kernel(cum_ref, stream_ref, out_ref, *, k: int, block_len: int,
@@ -212,23 +225,15 @@ def _prep_cum_vreg(cum: np.ndarray) -> np.ndarray:
     return flat.reshape(8, 128)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "block_len", "a_count", "interpret")
-)
-def decode_interleaved(
-    streams: jax.Array,
-    cum_vreg: jax.Array,
-    *,
-    k: int,
-    block_len: int,
-    a_count: int,
-    interpret: bool = False,
-) -> jax.Array:
-    """Decode (NG, SC) interleaved group streams -> (NG, G, L) symbols.
+@jax.jit
+def pack_stream_words(streams: jax.Array) -> jax.Array:
+    """(NG, SC) uint8 -> (NG, SC//512, 128) big-endian uint32 words.
 
-    ``streams`` uint8 with SC a multiple of 512 and at least
-    ``16K + max group length`` of slack rows zero-padded;
-    ``cum_vreg`` (8, 128) u32 from :func:`_prep_cum_vreg`.
+    A SEPARATE jit on purpose: feeding a host-uploaded flat uint8 array
+    straight into the kernel's program triggers a ~22 ms device relayout
+    per call (measured on v5e; the (1, SC) u8 layout is pathological).
+    Packed as its own dispatch the relayout disappears and the kernel sees
+    a natively-tiled (rows, 128) u32 operand.
     """
     NG, SC = streams.shape
     if SC % 512:
@@ -236,8 +241,23 @@ def decode_interleaved(
     rows = SC // 512
     w = streams.reshape(NG, rows * 128, 4).astype(_U32)
     words = ((w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3])
-    words = words.reshape(NG, rows, 128)
+    return words.reshape(NG, rows, 128)
 
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_len", "a_count", "interpret")
+)
+def decode_words(
+    words: jax.Array,
+    cum_vreg: jax.Array,
+    *,
+    k: int,
+    block_len: int,
+    a_count: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode (NG, rows, 128) packed word streams -> (NG, G, L) symbols."""
+    NG, rows, _ = words.shape
     kern = functools.partial(
         _decode_kernel, k=k, block_len=block_len, a_count=a_count
     )
@@ -253,7 +273,34 @@ def decode_interleaved(
             (1, block_len * 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(cum_vreg, words, )
+    )(cum_vreg, words)
     # step-major (t*8+s, lam) -> lane-major (lane = s*128+lam, t)
     out = out.reshape(NG, block_len, 8, 128)
     return jnp.transpose(out, (0, 2, 3, 1)).reshape(NG, G, block_len)
+
+
+def decode_interleaved(
+    streams: jax.Array,
+    cum_vreg: jax.Array,
+    *,
+    k: int,
+    block_len: int,
+    a_count: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode (NG, SC) interleaved group streams -> (NG, G, L) symbols.
+
+    ``streams`` uint8 with SC a multiple of 512 and at least
+    ``16K + max group length`` of slack rows zero-padded;
+    ``cum_vreg`` (8, 128) u32 from :func:`_prep_cum_vreg`.  Host wrapper
+    over :func:`pack_stream_words` + :func:`decode_words` (two dispatches —
+    see pack_stream_words for why).
+    """
+    return decode_words(
+        pack_stream_words(streams),
+        cum_vreg,
+        k=k,
+        block_len=block_len,
+        a_count=a_count,
+        interpret=interpret,
+    )

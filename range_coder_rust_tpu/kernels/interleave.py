@@ -112,6 +112,35 @@ def interleave_emissions(
     return out, group_lengths
 
 
+@functools.partial(jax.jit, static_argnames="capacity")
+def interleave_emissions_words(
+    planar: jax.Array,
+    en: jax.Array,
+    pos: jax.Array,
+    *,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`interleave_emissions` + big-endian word packing in ONE jit:
+    returns ``(words (NG, SC//512, 128) uint32, group_lengths (NG,))``.
+
+    The words layout is what the Pallas decode kernel consumes
+    (kernels/decode_pallas.decode_words).  Flat (NG, SC) uint8 arrays at
+    jit boundaries trigger a ~22 ms/call device relayout on v5e when
+    consumed downstream — keeping the byte image internal to this program
+    and emitting natively-tiled u32 avoids it.
+    """
+    if capacity % 512:
+        raise ValueError("stream capacity must be a multiple of 512")
+    out, group_lengths = interleave_emissions.__wrapped__(
+        planar, en, pos, capacity=capacity
+    )
+    NG = out.shape[0]
+    rows = capacity // 512
+    w = out.reshape(NG, rows * 128, 4).astype(_U32)
+    words = ((w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3])
+    return words.reshape(NG, rows, 128), group_lengths
+
+
 def deinterleave_to_planar(
     stream: np.ndarray, en: np.ndarray, capacity_planar: int
 ) -> np.ndarray:

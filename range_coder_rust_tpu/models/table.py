@@ -144,6 +144,47 @@ def ideal_bits(c: jax.Array, total: int) -> jax.Array:
 # host-side builder with validation
 # ---------------------------------------------------------------------------
 
+def normalize_pow2_np(counts: np.ndarray, k: int) -> np.ndarray:
+    """Host-side NumPy twin of :func:`normalize_pow2` — bit-identical
+    output (same largest-remainder apportionment, same tie-breaking), no
+    device round trip.  The host entry points use this: a table build must
+    not cost a TPU compile + transfer (the device version exists for the
+    in-graph per-block adaptive path, adaptive.py).
+    """
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    counts = counts.astype(np.uint64)
+    a = counts.shape[0]
+    total = int(counts.sum())
+    present = counts > 0
+
+    prod = counts * np.uint64(1 << k)
+    q = (prod // max(total, 1)).astype(np.int64)
+    r = (prod % max(total, 1)).astype(np.int64)
+    base = np.where(present, np.maximum(q, 1), 0).astype(np.int64)
+    diff = (1 << k) - int(base.sum())
+
+    # +1 to the `diff` present symbols with largest remainders (ties to the
+    # smaller index) — same key construction as the device version
+    key = np.where(present, -(r + 1), 0)
+    order = np.argsort(key, kind="stable")
+    rank = np.empty(a, np.int64)
+    rank[order] = np.arange(a)
+    bump = (present & (rank < max(diff, 0))).astype(np.int64)
+
+    # take |diff| from the largest allocations first, floor 1
+    surplus = np.where(base > 0, base - 1, 0)
+    order_d = np.argsort(-(base + 1), kind="stable")
+    surplus_sorted = surplus[order_d]
+    before = np.concatenate([[0], np.cumsum(surplus_sorted)[:-1]])
+    need = max(-diff, 0)
+    give_sorted = np.clip(need - before, 0, surplus_sorted)
+    give = np.empty(a, np.int64)
+    give[order_d] = give_sorted
+
+    return (base + bump - give).astype(np.uint32)
+
+
 class Pow2Table(NamedTuple):
     """A validated pow2-normalized table ready for the device coder."""
 
@@ -179,7 +220,7 @@ def build_table_pow2(
         raise TableError(
             f"{nnz} present symbols cannot share total 2**{k}; raise k"
         )
-    c = np.asarray(normalize_pow2(jnp.asarray(counts_np, _U32), k), np.uint32)
+    c = normalize_pow2_np(counts_np, k)
     assert int(c.sum()) == 1 << k, "normalization must be exact"
     assert np.all((counts_np == 0) | (c >= 1)), "present symbols keep c >= 1"
     cum = np.concatenate([[0], np.cumsum(c)]).astype(np.uint32)
@@ -189,6 +230,13 @@ def build_table_pow2(
 def table_from_data_pow2(
     data: np.ndarray | jax.Array, alphabet: int, k: int
 ) -> Pow2Table:
-    """Histogram ``data`` then normalize: the one-call builder."""
-    counts = counts_from_data(jnp.asarray(data), alphabet)
-    return build_table_pow2(np.asarray(counts), k)
+    """Histogram ``data`` then normalize: the one-call host builder
+    (all NumPy — no device compile/transfer on the table path)."""
+    counts = np.bincount(
+        np.asarray(data).reshape(-1), minlength=alphabet
+    )
+    if counts.shape[0] > alphabet:
+        raise TableError(
+            f"data contains symbol {counts.shape[0] - 1} >= alphabet {alphabet}"
+        )
+    return build_table_pow2(counts, k)

@@ -158,3 +158,23 @@ def test_ideal_bits_matches_scalar_pmodel():
     bits = np.asarray(ideal_bits(jnp.asarray(counts), int(counts.sum())))
     for i in range(5):
         assert bits[i] == pytest.approx(ft.ideal_code_length(i), rel=1e-6)
+
+
+def test_normalize_np_matches_device():
+    """Host NumPy normalization is bit-identical to the device version."""
+    import jax.numpy as jnp
+
+    from range_coder_rust_tpu.models.table import normalize_pow2, normalize_pow2_np
+
+    rng = np.random.default_rng(77)
+    for k, a in [(8, 10), (12, 256), (16, 256), (4, 3), (16, 100)]:
+        for _ in range(5):
+            counts = rng.integers(0, 10000, size=a).astype(np.uint32)
+            counts[rng.integers(0, a, size=a // 3)] = 0
+            if counts.sum() == 0:
+                counts[0] = 1
+            if (counts > 0).sum() > (1 << k):
+                continue
+            dev = np.asarray(normalize_pow2(jnp.asarray(counts), k))
+            host = normalize_pow2_np(counts, k)
+            assert np.array_equal(dev, host), (k, a, counts)
