@@ -5,6 +5,10 @@ over a 16-symbol / 10-alphabet input, encode, decode, and assert equality.
 Run:  python examples/sample_impl.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from range_coder_rust_tpu import Decoder, Encoder, FreqTable
 
 TEST_DATA = [2, 1, 1, 4, 1, 4, 2, 1, 0, 1, 5, 9, 8, 7, 6, 5]

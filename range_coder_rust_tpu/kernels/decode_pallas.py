@@ -219,10 +219,19 @@ def _decode_kernel(cum_ref, stream_ref, out_ref, *, k: int, block_len: int,
     )
 
 
-def _prep_cum_vreg(cum: np.ndarray) -> np.ndarray:
+def prep_cum_vreg(cum: np.ndarray) -> np.ndarray:
+    """Lay a (A+1,) cum table out as the (8, 128) vreg the kernel expects,
+    padded with a sentinel larger than any rfreq (so the binary search never
+    selects a padding slot).  Alphabets up to 1023 symbols fit one vreg."""
+    if cum.shape[0] > 1024:
+        raise ValueError(f"alphabet {cum.shape[0] - 1} exceeds 1023 symbols")
     flat = np.full(1024, 0x7FFFFFFF, np.uint32)
     flat[: cum.shape[0]] = cum
     return flat.reshape(8, 128)
+
+
+#: backward-compat alias (pre-round-2 private name)
+_prep_cum_vreg = prep_cum_vreg
 
 
 @jax.jit
@@ -292,7 +301,7 @@ def decode_interleaved(
 
     ``streams`` uint8 with SC a multiple of 512 and at least
     ``16K + max group length`` of slack rows zero-padded;
-    ``cum_vreg`` (8, 128) u32 from :func:`_prep_cum_vreg`.  Host wrapper
+    ``cum_vreg`` (8, 128) u32 from :func:`prep_cum_vreg`.  Host wrapper
     over :func:`pack_stream_words` + :func:`decode_words` (two dispatches —
     see pack_stream_words for why).
     """

@@ -6,7 +6,7 @@ semantics — exclusive prefix sums (``calc_cum``,
 examples/sample_impl.rs:61-69) and the largest-``i``-with-``cum[i] <= rfreq``
 binary search (examples/sample_impl.rs:27-45) — and adds array-native
 construction (histogram + cumsum) plus conversion to the device-path
-:class:`~range_coder_rust_tpu.models.table.TableSpec`.
+:class:`~range_coder_rust_tpu.models.table.Pow2Table` (``to_pow2_table``).
 """
 
 from __future__ import annotations

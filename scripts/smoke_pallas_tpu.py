@@ -26,8 +26,8 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from range_coder_rust_tpu.blocks import default_capacity, encode_scan, compact_emissions
 from range_coder_rust_tpu.kernels.decode_pallas import (
-    _prep_cum_vreg,
     decode_words,
+    prep_cum_vreg,
 )
 from range_coder_rust_tpu.kernels.interleave import (
     GROUP_LANES,
@@ -45,10 +45,12 @@ def main():
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     k = 16
     n = mb << 20
+    if n % L:
+        n = (n // L) * L  # trim so the corpus reshapes into whole blocks
     B = n // L
     G = GROUP_LANES
+    assert B % G == 0, f"block count {B} not divisible by group size {G}"
     NG = B // G
-    assert B % G == 0, (B, G)
 
     rng = np.random.default_rng(7)
     ranks = np.arange(1, 257)
@@ -68,6 +70,10 @@ def main():
     # encode (planar scan + compaction)
     t0 = time.time()
     ehi, elo, en, pos, lengths = encode_scan(syms, c, cum, k=k)
+    assert int(np.asarray(lengths).max()) <= cap, (
+        "block overflowed capacity — raise capacity (api.py doubles it on "
+        "overflow; this harness does not)"
+    )
     planar = compact_emissions(ehi, elo, en, pos, capacity=cap)
     jax.block_until_ready(planar)
     log(f"encode compile+run: {time.time() - t0:.2f}s")
@@ -84,7 +90,7 @@ def main():
     jax.block_until_ready(words)
     log(f"interleave compile+run: {time.time() - t0:.2f}s  SC={SC}")
 
-    cum_vreg = jax.device_put(jnp.asarray(_prep_cum_vreg(np.asarray(t.cum))), dev)
+    cum_vreg = jax.device_put(jnp.asarray(prep_cum_vreg(np.asarray(t.cum))), dev)
 
     # pallas decode, compiled
     t0 = time.time()

@@ -12,7 +12,7 @@ from range_coder_rust_tpu.blocks import (
 )
 from range_coder_rust_tpu.kernels.decode_pallas import (
     G,
-    _prep_cum_vreg,
+    prep_cum_vreg,
     decode_interleaved,
 )
 from range_coder_rust_tpu.kernels.interleave import interleave_emissions
@@ -39,7 +39,7 @@ def interleaved_roundtrip(data, k, alphabet):
         pos.reshape(NG, G, L + 1),
         capacity=sc,
     )
-    cum_vreg = jnp.asarray(_prep_cum_vreg(table.cum))
+    cum_vreg = jnp.asarray(prep_cum_vreg(table.cum))
     out = decode_interleaved(
         streams, cum_vreg, k=k, block_len=L, a_count=alphabet, interpret=True
     )
@@ -83,7 +83,7 @@ def test_pallas_decode_interpret_rare_runs():
         capacity=sc,
     )
     out = decode_interleaved(
-        streams, jnp.asarray(_prep_cum_vreg(table.cum)),
+        streams, jnp.asarray(prep_cum_vreg(table.cum)),
         k=k, block_len=L, a_count=16, interpret=True,
     )
     assert np.array_equal(np.asarray(out).reshape(G, L), data)
