@@ -67,11 +67,20 @@ def _select_by(level_vals: List[jax.Array], sel: jax.Array) -> jax.Array:
 
 def _lookup_rows(rows_bcast: List[jax.Array], idx: jax.Array) -> jax.Array:
     """Per-lane lookup of flat ``idx`` in a table laid out as broadcast
-    rows: ``rows_bcast[r][s, :] == table_row_r`` for every sublane s.
-    idx in [0, 128 * len(rows_bcast)).  One hardware lane-gather per row +
-    a select tree."""
+    rows: ``rows_bcast[r][..., s, :] == table_row_r`` for every sublane s.
+    idx in [0, 128 * len(rows_bcast)), any shape ending in (8, 128).  One
+    hardware lane-gather per row + a select tree."""
     col = (idx & 127).astype(_I32)
-    gathered = [jnp.take_along_axis(r, col, axis=1) for r in rows_bcast]
+    shape = col.shape
+    col2 = col.reshape(-1, 128)  # Mosaic supports 2-D gathers only
+    gathered = [
+        jnp.take_along_axis(
+            jnp.broadcast_to(r, (col2.shape[0] // 8, 8, 128)).reshape(-1, 128),
+            col2,
+            axis=-1,
+        ).reshape(shape)
+        for r in rows_bcast
+    ]
     return _select_by(gathered, (idx >> 7).astype(_I32))
 
 

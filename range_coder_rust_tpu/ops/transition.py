@@ -74,16 +74,34 @@ def init_state(shape: Tuple[int, ...] = ()) -> CoderState:
     )
 
 
+def _lzb3(v: jax.Array) -> jax.Array:
+    """Leading zero bytes of a uint32, capped at 3 (compare ladder — far
+    cheaper on the VPU than a full bit-twiddling clz)."""
+    return (
+        (v < _U32(1 << 24)).astype(jnp.int32)
+        + (v < _U32(1 << 16)).astype(jnp.int32)
+        + (v < _U32(1 << 8)).astype(jnp.int32)
+    )
+
+
+def _lzb(a: U64) -> jax.Array:
+    """Leading zero bytes of a u64 (7 for a == 0 — callers cap below 8)."""
+    return jnp.where(a.hi == 0, 4 + _lzb3(a.lo), _lzb3(a.hi))
+
+
 def _renorm(low_u: U64, rng_u: U64) -> Tuple[CoderState, U64, jax.Array]:
     """Shared closed-form renormalization: returns (state', emit_low, n)."""
     up = u64.add(low_u, rng_u)  # no overflow under the carryless invariant
-    n1 = u64.clz(u64.bit_xor(low_u, up)) >> 3  # 0..7
+    # x = low ^ up is nonzero (rng > 0), so the 7-cap of _lzb is exact
+    n1 = _lzb(u64.bit_xor(low_u, up))  # 0..7
     low1 = u64.shl(low_u, 8 * n1)
     rng1 = u64.shl(rng_u, 8 * n1)
 
     # range-reduction loop count (reference src/range_coder.rs:126-135)
     need = u64.lt(rng1, u64.from_int(_TOP16_INT, low1.hi.shape))
-    n_ff = u64.clz(u64.shl(u64.bit_not(low1), 16)) >> 3  # consecutive 0xFF bytes
+    # consecutive 0xFF bytes of low1 from byte 5 down = leading zero bytes
+    # of ~low1 << 16 (_lzb saturates at 7 for zero; the cap keeps <= 6)
+    n_ff = _lzb(u64.shli(u64.bit_not(low1), 16))
     n_ff = jnp.minimum(n_ff, 6)
     n2 = jnp.where(need, 1 + n_ff, 0)
 

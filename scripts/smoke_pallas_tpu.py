@@ -29,6 +29,11 @@ from range_coder_rust_tpu.kernels.decode_pallas import (
     decode_words,
     prep_cum_vreg,
 )
+from range_coder_rust_tpu.kernels.encode_pallas import (
+    emissions_to_lane_major,
+    encode_tiles,
+    symbols_to_step_major,
+)
 from range_coder_rust_tpu.kernels.interleave import (
     GROUP_LANES,
     interleave_emissions_words,
@@ -92,6 +97,19 @@ def main():
 
     cum_vreg = jax.device_put(jnp.asarray(prep_cum_vreg(np.asarray(t.cum))), dev)
 
+    # pallas encode kernel: verify it reproduces the XLA scan on hardware
+    t0 = time.time()
+    sym_t = symbols_to_step_major(syms)
+    outs = encode_tiles(sym_t, cum_vreg, k=k, block_len=L)
+    got = emissions_to_lane_major(*outs)
+    jax.block_until_ready(got)
+    log(f"pallas encode compile+first run: {time.time() - t0:.2f}s")
+    for name, a, b in zip(
+        ["ehi", "elo", "en", "pos", "lengths"], got, (ehi, elo, en, pos, lengths)
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"{name} mismatch"
+    log("pallas encode == encode_scan: OK")
+
     # pallas decode, compiled
     t0 = time.time()
     out = decode_words(words, cum_vreg, k=k, block_len=L, a_count=256)
@@ -107,23 +125,32 @@ def main():
         log(f"bad blocks: {bad[:10]} / {bad.size}")
         sys.exit(1)
 
-    # timed reps
+    # timed reps.  Axon quirk: after any device->host fetch, every
+    # block_until_ready sync costs ~25 ms; dispatches themselves pipeline at
+    # real speed.  So: issue REPS dispatches back-to-back, sync ONCE, and
+    # measure a second window to subtract the first window's sync tax.
+    REPS = 8
     for name, fn in [
-        ("encode_scan", lambda: jax.block_until_ready(
-            encode_scan(syms, c, cum, k=k))),
-        ("compact", lambda: jax.block_until_ready(
-            compact_emissions(ehi, elo, en, pos, capacity=cap))),
-        ("interleave", lambda: jax.block_until_ready(
-            interleave_emissions_words(planar_g, en_g, pos_g, capacity=SC))),
-        ("pallas_decode", lambda: jax.block_until_ready(
-            decode_words(words, cum_vreg, k=k, block_len=L, a_count=256))),
+        ("encode_scan", lambda: encode_scan(syms, c, cum, k=k)),
+        ("pallas_encode", lambda: encode_tiles(
+            sym_t, cum_vreg, k=k, block_len=L)),
+        ("pallas_encode_e2e", lambda: emissions_to_lane_major(*encode_tiles(
+            symbols_to_step_major(syms), cum_vreg, k=k, block_len=L))),
+        ("compact", lambda: compact_emissions(
+            ehi, elo, en, pos, capacity=cap)),
+        ("interleave", lambda: interleave_emissions_words(
+            planar_g, en_g, pos_g, capacity=SC)),
+        ("pallas_decode", lambda: decode_words(
+            words, cum_vreg, k=k, block_len=L, a_count=256)),
     ]:
-        ts = []
-        for _ in range(3):
+        jax.block_until_ready(fn())  # drain + sync tax
+        best = None
+        for _ in range(2):
             t0 = time.time()
-            fn()
-            ts.append(time.time() - t0)
-        best = min(ts)
+            out = [fn() for _ in range(REPS)]
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / REPS
+            best = dt if best is None else min(best, dt)
         log(f"{name}: {best*1e3:.1f} ms  ({n/1e9/best:.3f} GB/s)")
 
 
