@@ -40,12 +40,20 @@ class CodecConfig:
     block_len: int = 512  # symbols per block (L); short blocks keep XLA's run-length compaction bandwidth-bound
     with_checksums: bool = True
     chunk_symbols: int = _CHUNK_SYMBOLS
+    #: "planar" = block-parallel range coder (byte-exact reference
+    #: semantics per block); "rans16" = interleaved word rANS (the
+    #: TPU-native fast profile, rans.py; requires k == 16)
+    profile: str = "planar"
 
     def __post_init__(self):
         if not 1 <= self.k <= 16:
             raise ConfigError(f"k={self.k} out of range [1, 16]")
         if self.block_len < 1:
             raise ConfigError(f"block_len={self.block_len} must be >= 1")
+        if self.profile not in ("planar", "rans16"):
+            raise ConfigError(f"unknown profile {self.profile!r}")
+        if self.profile == "rans16" and self.k != 16:
+            raise ConfigError("rans16 profile requires k == 16")
 
 
 def _as_symbols(data, alphabet: Optional[int]) -> tuple[np.ndarray, int]:
@@ -117,6 +125,17 @@ def encode(
                 "data contains symbols with zero frequency in the given table"
             )
 
+    if config.profile == "rans16":
+        from . import rans_codec
+
+        return rans_codec.encode(
+            symbols,
+            alphabet=a,
+            table=table,
+            block_len=L,
+            with_checksums=config.with_checksums,
+        )
+
     pad_symbol = int(np.argmax(table.c))
     padded = np.full(b * L, pad_symbol, np.int32)
     padded[:n] = symbols
@@ -151,6 +170,10 @@ def decode(blob: bytes, *, verify_checksums: bool = True) -> np.ndarray:
     the reference panics in these situations (src/decoder.rs:33).
     """
     cont = fmt.unpack(blob, verify_checksums=verify_checksums)
+    if cont.profile == "rans16":
+        from . import rans_codec
+
+        return rans_codec.decode(cont)
     if cont.per_block_tables:
         raise NotImplementedError("per-block adaptive containers: see adaptive.py")
     b = cont.n_blocks

@@ -14,14 +14,17 @@ Layout (all integers little-endian):
     offset  size  field
     0       4     magic  b"RCT1"
     4       1     version (= 1)
-    5       1     flags   bit0 per-block tables, bit1 per-block CRC32
+    5       1     flags   bit0 per-block tables, bit1 per-block CRC32,
+                          bit2 rans16 profile
     6       1     k       (total_freq = 2**k)
-    7       1     reserved (0)
+    7       1     log2(lanes per group) for rans16, else 0
     8       4     alphabet size A
-    12      4     block length L (symbols per block)
+    12      4     block length L (symbols per block / per rans16 lane)
     16      8     total symbol count N (last block may be partial)
-    24      4     block count B (= ceil(N / L), >= 1)
-    28      4*B   per-block payload lengths (bytes, incl. 8-byte flush)
+    24      4     block count B (= ceil(N / L), >= 1; rans16: group count,
+                  = ceil(N / (G * L)))
+    28      4*B   per-block payload lengths (bytes, incl. 8-byte flush;
+                  rans16: per-group stream lengths incl. the 8*G preamble)
     ...     table c values, uint16[A] if k < 16 else uint32[A]:
               shared mode: one table; per-block mode: B tables
     ...     per-block CRC32, uint32[B]            (if flag bit1)
@@ -29,6 +32,11 @@ Layout (all integers little-endian):
 
 The pad symbol for a partial last block is the table's most frequent
 symbol; N truncates it away on decode.
+
+The rans16 profile (flag bit2) reuses the same container with payload =
+one interleaved group stream per "block" (rans.py layout: 8-byte-per-lane
+state preamble + halfword region section).  ``k`` must be 16 and tables are
+shared (per-block tables unsupported).
 """
 
 from __future__ import annotations
@@ -47,6 +55,7 @@ VERSION = 1
 
 FLAG_PER_BLOCK_TABLES = 1 << 0
 FLAG_CRC32 = 1 << 1
+FLAG_RANS16 = 1 << 2
 
 _HEADER = struct.Struct("<4sBBBBIIQI")  # through block count B
 HEADER_BYTES = _HEADER.size
@@ -65,6 +74,8 @@ class Container:
     per_block_tables: bool
     checksums: Optional[np.ndarray]  # (B,) uint32 or None
     payloads: List[bytes]
+    profile: str = "planar"  # "planar" | "rans16"
+    group_lanes: int = 0  # lanes per group (rans16 only)
 
     @property
     def n_blocks(self) -> int:
@@ -86,6 +97,8 @@ def pack(
     tables_c: np.ndarray,
     per_block_tables: bool = False,
     with_checksums: bool = True,
+    profile: str = "planar",
+    group_lanes: int = 0,
 ) -> bytes:
     """Assemble a container from per-block payloads and table(s)."""
     b = len(payloads)
@@ -94,6 +107,18 @@ def pack(
     flags = (FLAG_PER_BLOCK_TABLES if per_block_tables else 0) | (
         FLAG_CRC32 if with_checksums else 0
     )
+    glog = 0
+    if profile == "rans16":
+        if k != 16:
+            raise ValueError("rans16 profile requires k == 16")
+        if per_block_tables:
+            raise ValueError("rans16 profile uses a shared table")
+        if group_lanes < 1 or group_lanes & (group_lanes - 1):
+            raise ValueError(f"group_lanes {group_lanes} must be a power of 2")
+        flags |= FLAG_RANS16
+        glog = group_lanes.bit_length() - 1
+    elif profile != "planar":
+        raise ValueError(f"unknown profile {profile!r}")
     tables_c = np.asarray(tables_c, dtype=np.uint32)
     want_shape = (b, alphabet) if per_block_tables else (alphabet,)
     if tables_c.shape != want_shape:
@@ -101,7 +126,7 @@ def pack(
 
     out = bytearray()
     out += _HEADER.pack(
-        MAGIC, VERSION, flags, k, 0, alphabet, block_len, n_symbols, b
+        MAGIC, VERSION, flags, k, glog, alphabet, block_len, n_symbols, b
     )
     lengths = np.array([len(p) for p in payloads], dtype="<u4")
     out += lengths.tobytes()
@@ -119,7 +144,7 @@ def unpack(blob: bytes, *, verify_checksums: bool = True) -> Container:
     SURVEY.md §5 failure-detection requirement)."""
     if len(blob) < HEADER_BYTES:
         raise InvalidHeader(f"container too short: {len(blob)} bytes")
-    magic, version, flags, k, _rsvd, alphabet, block_len, n_symbols, b = _HEADER.unpack(
+    magic, version, flags, k, glog, alphabet, block_len, n_symbols, b = _HEADER.unpack(
         blob[:HEADER_BYTES]
     )
     if magic != MAGIC:
@@ -132,16 +157,27 @@ def unpack(blob: bytes, *, verify_checksums: bool = True) -> Container:
         raise InvalidHeader(
             f"bad geometry: alphabet={alphabet} block_len={block_len} blocks={b}"
         )
-    if n_symbols > b * block_len or (b - 1) * block_len >= n_symbols > 0:
-        if n_symbols > b * block_len:
-            raise InvalidHeader(
-                f"n_symbols={n_symbols} exceeds {b} blocks x {block_len}"
-            )
-        raise InvalidHeader(
-            f"n_symbols={n_symbols} needs fewer than {b} blocks of {block_len}"
-        )
     per_block = bool(flags & FLAG_PER_BLOCK_TABLES)
     has_crc = bool(flags & FLAG_CRC32)
+    is_rans = bool(flags & FLAG_RANS16)
+    group_lanes = 0
+    if is_rans:
+        if k != 16:
+            raise InvalidHeader("rans16 container with k != 16")
+        if per_block:
+            raise InvalidHeader("rans16 container with per-block tables")
+        if not 0 < glog <= 16:
+            raise InvalidHeader(f"rans16 container with bad group log {glog}")
+        group_lanes = 1 << glog
+    span = block_len * (group_lanes if is_rans else 1)
+    if n_symbols > b * span:
+        raise InvalidHeader(
+            f"n_symbols={n_symbols} exceeds {b} units x {span}"
+        )
+    if (b - 1) * span >= n_symbols > 0:
+        raise InvalidHeader(
+            f"n_symbols={n_symbols} needs fewer than {b} units of {span}"
+        )
 
     off = HEADER_BYTES
 
@@ -191,4 +227,6 @@ def unpack(blob: bytes, *, verify_checksums: bool = True) -> Container:
         per_block_tables=per_block,
         checksums=checksums,
         payloads=payloads,
+        profile="rans16" if is_rans else "planar",
+        group_lanes=group_lanes,
     )

@@ -1,0 +1,95 @@
+"""Flat-order vreg compaction and rolls — building blocks for the rans16
+encode kernel.
+
+``compact_flat`` moves the active lanes of an (8, 128) vreg to the front in
+flat (sublane-major) lane order — the classic stream-compaction primitive,
+implemented as 10 rounds of binary-decomposed routing (move-by-2^i) built
+on lane/sublane rolls, because TPU has no cross-vreg scatter.  Distances
+``l - rank(l)`` are nondecreasing over active lanes, which makes LSB-first
+binary routing collision-free (property-tested exhaustively in
+tests/test_compact_flat.py against NumPy compress).
+
+All helpers are pure (8, 128) jnp and run under Pallas (compiled or
+interpreted) as well as plain XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .decode_pallas import _lane_prefix_flat
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _roll2d(x: jax.Array, shift: int, axis: int) -> jax.Array:
+    """Static circular roll of an (8, 128) array (jnp.roll works in both
+    Pallas and XLA; kept as a seam for pltpu.roll if needed)."""
+    return jnp.roll(x, shift, axis=axis)
+
+
+def flat_roll_pow2(x: jax.Array, delta: int) -> jax.Array:
+    """Circular roll of an (8, 128) array by ``delta`` (+right/-left)
+    positions in FLAT sublane-major order, for |delta| a power of two
+    (or any static int)."""
+    d = delta % 1024
+    if d == 0:
+        return x
+    rows, lanes = divmod(d, 128)
+    y = x
+    if lanes:
+        y = _roll2d(y, lanes, 1)
+        # lanes that wrapped within their row must come from the previous row
+        lane_idx = jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+        y_prev = _roll2d(y, 1, 0)
+        y = jnp.where(lane_idx < lanes, y_prev, y)
+    if rows:
+        y = _roll2d(y, rows, 0)
+    return y
+
+
+def compact_flat(
+    v: jax.Array, active: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Move active lanes' values to the front in flat lane order.
+
+    Arguments: ``v`` (8, 128) uint32 values, ``active`` (8, 128) bool.
+    Returns ``(compacted, rank, total)``: compacted values (positions >=
+    total are garbage), each lane's exclusive active-rank (int32), and the
+    scalar active count.
+    """
+    act0 = active.astype(_I32)  # int32 flags: Mosaic can't roll/trunc i1
+    rank, total = _lane_prefix_flat(act0)
+    flat = (
+        jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
+        + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+    )
+    dist = jnp.where(act0 == 1, flat - rank, 0)
+    val = v
+    act = act0
+    for i in range(10):
+        bit = 1 << i
+        src_val = flat_roll_pow2(val, -bit)
+        src_dist = flat_roll_pow2(dist, -bit)
+        src_act = flat_roll_pow2(act, -bit)
+        arriving = jnp.logical_and(src_act == 1, (src_dist & bit) != 0)
+        staying = jnp.logical_and(act == 1, (dist & bit) == 0)
+        val = jnp.where(arriving, src_val, val)
+        dist = jnp.where(arriving, src_dist - bit, dist)
+        act = jnp.where(jnp.logical_or(arriving, staying), 1, 0)
+    return val, rank, total
+
+
+def flat_roll_dyn(x: jax.Array, shift: jax.Array) -> jax.Array:
+    """Circular roll by a dynamic (traced) shift in [0, 1024), flat order:
+    binary decomposition into 10 conditional pow2 rolls."""
+    y = x
+    for i in range(10):
+        bit = 1 << i
+        rolled = flat_roll_pow2(y, bit)
+        y = jnp.where((shift & bit) != 0, rolled, y)
+    return y

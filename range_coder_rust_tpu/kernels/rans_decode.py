@@ -1,0 +1,217 @@
+"""Pallas TPU decode kernel for the rans16 profile (rans.py).
+
+Per step, for all 1024 lanes of a group at once:
+
+  1. ``slot = x & 0xFFFF`` — one mask; the rans16 decoder needs **no
+     division** (unlike the range decoder's ``(data - lower) / rpt``);
+  2. symbol search: largest s with ``cum[s] <= slot`` — binary search with
+     per-lane vreg gathers on the (8, 128) cum table;
+  3. state update ``x = c * (x >> 16) + slot - cum`` — one 32x32 wide
+     multiply (``x < 2^48`` so ``x >> 16`` fits u32);
+  4. refill: lanes with ``x < 2^32`` shift in one halfword each.  Refilling
+     lanes' halfwords are consecutive in the stream (rans.py layout), so a
+     boolean lane prefix-sum (two MXU contractions) gives each lane's
+     offset, and the fetch is a gather within a 16-row (8 KB) window —
+     a step consumes at most 1024 halfwords (= 4 rows), so the window
+     always covers it.
+
+Stream words are little-endian u32 (two halfwords per word).  The kernel is
+pure (8, 128)-shaped jnp: identical under ``interpret=True`` (CPU tests)
+and Mosaic-compiled on hardware.  The whole group stream lives in the
+kernel's VMEM input block (revisited across step-tiles), which caps the
+supported geometry at a few MB per group stream; the HBM-streaming variant
+for very long lanes arrives with the large-L container profile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import u64 as u64ops
+from .decode_pallas import _bcast_rows, _lane_prefix_flat, _lookup_rows
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+#: lanes per group (must match rans.GROUP_LANES)
+G = 1024
+#: steps per grid tile (out tile = TCH*8 x 128 i32 = 256 KB)
+TILE_STEPS = 64
+#: window rows fetched per refill: a step consumes <= 1024 halfwords
+#: (4 rows + within-row offset -> 5 rows); 8 unaligned rows cover it
+_WIN_ROWS = 8
+
+
+def _rans_decode_kernel(probe_ref, cum_ref, stream_ref, out_ref, st_ref,
+                        cur_ref, *, block_len: int, a_count: int,
+                        tile_steps: int):
+    """One (group, step-tile).  probe_ref SMEM (4,) u32 = cum values at the
+    two data-independent early probe positions (see rans_decode_words);
+    cum_ref (8,128) u32 (prep_cum_vreg); stream_ref (1, rowsW, 128) u32 LE
+    words; out_ref (1, tile_steps*8, 128) i32; st_ref VMEM (2, 8, 128) u32
+    state limbs; cur_ref SMEM (1,) i32 absolute halfword cursor."""
+    tau = pl.program_id(1)
+    # gathers dominate the step, so probe only the table rows that can hold
+    # real entries (a_count + 1 cum values; power-of-two row count for the
+    # select tree)
+    n_rows = 1
+    while n_rows * 128 < a_count + 2 and n_rows < 8:
+        n_rows *= 2
+    cum_rows = _bcast_rows(cum_ref[:])[:n_rows]
+    search_iters = max(1, (a_count - 1).bit_length())
+
+    @pl.when(tau == 0)
+    def _():
+        # prime: lane l's state = LE words 2l (lo) and 2l+1 (hi)
+        lane = (
+            jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+        )
+        pre = stream_ref[0, 0:16, :]  # 2048 words = the 8*G-byte preamble
+        pre_rows = _bcast_rows(pre)
+        st_ref[1] = _lookup_rows(pre_rows, lane * 2)      # x.lo
+        st_ref[0] = _lookup_rows(pre_rows, lane * 2 + 1)  # x.hi (< 2^16)
+        cur_ref[0] = 4 * G  # first region halfword (after the preamble)
+
+    def body(t, carry):
+        xhi, xlo, ch = carry
+
+        # 1-2. slot + symbol search (largest s with cum[s] <= slot).  The
+        # first two probe positions are data-independent (a_count/2, then
+        # a_count/4 or 3a_count/4), so they compare against broadcast
+        # scalars instead of gathering.
+        slot = xlo & _U32(0xFFFF)
+        lo = jnp.zeros((8, 128), _I32)
+        hi = jnp.full((8, 128), a_count, _I32)
+        it = 0
+        if search_iters >= 2:
+            m1 = a_count >> 1
+            go = probe_ref[0] <= slot
+            lo = jnp.where(go, m1, lo)
+            hi = jnp.where(go, hi, m1)
+            c2 = jnp.where(go, probe_ref[2], probe_ref[1])
+            mid = (lo + hi) >> 1
+            go = c2 <= slot
+            lo = jnp.where(go, mid, lo)
+            hi = jnp.where(go, hi, mid)
+            it = 2
+        for _ in range(it, search_iters):
+            mid = (lo + hi) >> 1
+            go = _lookup_rows(cum_rows, mid) <= slot
+            lo = jnp.where(go, mid, lo)
+            hi = jnp.where(go, hi, mid)
+        idx = lo
+        cum_s = _lookup_rows(cum_rows, idx)
+        cc = _lookup_rows(cum_rows, idx + 1) - cum_s
+
+        # 3. x = c * (x >> 16) + (slot - cum)  (x < 2^48 => x>>16 fits u32)
+        q = (xlo >> _U32(16)) | (xhi << _U32(16))
+        phi, plo = u64ops.mul32_wide(q, cc)
+        d = slot - cum_s  # < 2^16
+        nlo = plo + d
+        nhi = phi + (nlo < plo).astype(_U32)
+
+        # 4. refill lanes with x < 2^32, one halfword each, lane-ordered
+        cond = nhi == 0
+        rank, s_t = _lane_prefix_flat(cond.astype(_I32))
+        lh = ch + rank  # absolute halfword index per lane
+        row = ch >> 8  # 256 halfwords per 128-word row
+        win = stream_ref[0, pl.ds(row, _WIN_ROWS), :]
+        wrows = _bcast_rows(win)
+        lw = (lh >> 1) - row * 128  # window-local word index, < 1024
+        word = _lookup_rows(wrows, lw)
+        h = jnp.where((lh & 1) == 1, word >> _U32(16), word) & _U32(0xFFFF)
+
+        rhi = (nhi << _U32(16)) | (nlo >> _U32(16))
+        rlo = (nlo << _U32(16)) | h
+        xhi2 = jnp.where(cond, rhi, nhi)
+        xlo2 = jnp.where(cond, rlo, nlo)
+
+        out_ref[0, pl.ds(t * 8, 8), :] = idx
+        return (xhi2, xlo2, ch + s_t.astype(_I32))
+
+    xhi, xlo, ch = jax.lax.fori_loop(
+        0, tile_steps, body, (st_ref[0], st_ref[1], cur_ref[0])
+    )
+    st_ref[0], st_ref[1] = xhi, xlo
+    cur_ref[0] = ch
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_len", "a_count", "interpret")
+)
+def rans_decode_words(
+    words: jax.Array,
+    cum_vreg: jax.Array,
+    *,
+    block_len: int,
+    a_count: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode (NG, rowsW, 128) LE-word group streams -> (NG, G, L) symbols."""
+    NG, rowsW, _ = words.shape
+    tile = min(TILE_STEPS, block_len)
+    if block_len % tile:
+        raise ValueError(f"block_len {block_len} % tile {tile} != 0")
+    n_tiles = block_len // tile
+    kern = functools.partial(
+        _rans_decode_kernel,
+        block_len=block_len,
+        a_count=a_count,
+        tile_steps=tile,
+    )
+    # cum values at the two data-independent early probe positions
+    m1 = a_count >> 1
+    m2a, m2b = m1 >> 1, m1 + ((a_count - m1) >> 1)
+    flat = cum_vreg.reshape(-1)
+    probes = jnp.stack([flat[m1], flat[m2a], flat[m2b], flat[0]])
+    out = pl.pallas_call(
+        kern,
+        grid=(NG, n_tiles),
+        out_shape=jax.ShapeDtypeStruct((NG, block_len * 8, 128), _I32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda g, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rowsW, 128), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile * 8, 128), lambda g, t: (g, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, 128), _U32),
+            pltpu.SMEM((1,), _I32),
+        ],
+        interpret=interpret,
+    )(probes, cum_vreg, words)
+    out = out.reshape(NG, block_len, 8, 128)
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(NG, G, block_len)
+
+
+@jax.jit
+def pack_stream_words_le(streams: jax.Array) -> jax.Array:
+    """(NG, SC) uint8 -> (NG, SC//512, 128) little-endian uint32 words."""
+    NG, SC = streams.shape
+    if SC % 512:
+        raise ValueError("stream capacity must be a multiple of 512")
+    rows = SC // 512
+    w = streams.reshape(NG, rows * 128, 4).astype(_U32)
+    words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24)
+    return words.reshape(NG, rows, 128)
+
+
+def stream_bytes_to_words(stream: bytes, rows: int) -> np.ndarray:
+    """Host helper: one group's stream bytes -> (rows, 128) LE u32 words
+    (zero-padded to ``rows * 512`` bytes)."""
+    buf = np.zeros(rows * 512, np.uint8)
+    buf[: len(stream)] = np.frombuffer(stream, np.uint8)
+    return buf.view("<u4").reshape(rows, 128).astype(np.uint32)

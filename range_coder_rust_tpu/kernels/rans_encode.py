@@ -1,0 +1,286 @@
+"""Pallas TPU encode kernel for the rans16 profile (rans.py).
+
+The encoder iterates symbols BACKWARD (t = L-1 .. 0) — that is what makes
+its emissions land in the decoder's consumption order with no permutation
+stage.  Per step, for all 1024 lanes of a group:
+
+  1. table probe c, cum by symbol (vreg gathers on the cum table);
+  2. renorm: lanes with ``x >= c << 32`` (one u32 compare: ``x.hi >= c``)
+     emit their low halfword and shift ``x >>= 16``;
+  3. exact division ``q, r = divmod(x, c)`` with ``q < 2^32`` via two
+     16-bit-quotient stages: an f32 estimate with a safety margin and three
+     exact fixup steps each (the encode-side analogue of ops/u64.div_small_q);
+  4. state update ``x = (q << 16) | (cum + r)``;
+  5. the emitted halfwords are compacted to flat-lane order
+     (kernels/compact_flat.py) and blended into the stream buffer at the
+     decrementing region cursor — regions are written back-to-front, so the
+     finished region section sits right-aligned in the capacity buffer.
+
+Outputs (see ``rans_encode_tiles``): the final states (the stream
+preamble), the region section as a HALFWORD-EXPANDED buffer (one u16 value
+per u32 slot — packed to real halfword pairs by ``pack_expanded``), and the
+final cursor (= start of the region section; negative means the capacity
+was too small and the encode must be retried bigger — no out-of-bounds
+writes happen).
+
+The whole per-group expanded buffer lives in the kernel's revisited VMEM
+output block, capping per-group geometry at ~VMEM size; the HBM-streaming
+variant for very long lanes comes with the large-L container work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .compact_flat import compact_flat, flat_roll_dyn
+from .decode_pallas import _bcast_rows, _lookup_rows
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_F32 = jnp.float32
+
+#: steps per grid tile
+TILE_STEPS = 64
+#: lanes per group (must match rans.GROUP_LANES)
+G = 1024
+
+
+def _to_f32(v: jax.Array) -> jax.Array:
+    """Exact-ish u32 -> f32 via 16-bit halves (Mosaic has no u32->f32)."""
+    hi = (v >> _U32(16)).astype(_I32).astype(_F32)
+    lo = (v & _U32(0xFFFF)).astype(_I32).astype(_F32)
+    return hi * 65536.0 + lo
+
+
+def _div_stage(num_f: jax.Array, den_f: jax.Array) -> jax.Array:
+    """floor(num/den) estimate with margin 2 (true quotient < 2^16)."""
+    q = jnp.floor(num_f / den_f)
+    q = jnp.clip(q, 0.0, 65535.0).astype(_I32).astype(_U32)
+    return jnp.where(q > _U32(2), q - _U32(2), _U32(0))
+
+
+def _rans_encode_kernel(cum_ref, sym_ref, exp_ref, pre_ref, cur_ref,
+                        st_ref, cur_s_ref, *, a_count: int,
+                        tile_steps: int, n_tiles: int, cap_hw: int):
+    """One (group, reversed step-tile).  cum_ref (8,128) u32; sym_ref
+    (1, tile_steps*8, 128) i32 (the tile's symbols, step-ascending rows —
+    the index map hands tiles in reverse order); exp_ref (1, rowsE, 128)
+    u32 halfword-expanded stream (revisited); pre_ref (1, 16, 128) u32
+    preamble words; cur_ref SMEM-out (1, 1) i32 final cursor; scratch:
+    st_ref (2, 8, 128) u32 state limbs, cur_s_ref SMEM (1,) i32 cursor."""
+    tau = pl.program_id(1)
+    g_idx = pl.program_id(0)
+
+    n_rows = 1
+    while n_rows * 128 < a_count + 2 and n_rows < 8:
+        n_rows *= 2
+    cum_rows = _bcast_rows(cum_ref[:])[:n_rows]
+
+    @pl.when(tau == 0)
+    def _():
+        st_ref[0] = jnp.full((8, 128), 1, _U32)   # x = 2^32
+        st_ref[1] = jnp.zeros((8, 128), _U32)
+        cur_s_ref[0] = cap_hw
+
+    def body(j, carry):
+        xhi, xlo, ch = carry
+        t_local = tile_steps - 1 - j
+        sym = sym_ref[0, pl.ds(t_local * 8, 8), :]
+
+        cum_s = _lookup_rows(cum_rows, sym)
+        cc = _lookup_rows(cum_rows, sym + 1) - cum_s
+
+        # 2. renorm: emit one halfword where x >= c << 32  <=>  x.hi >= c
+        emit = xhi >= cc
+        h = xlo & _U32(0xFFFF)
+        exhi = xhi >> _U32(16)
+        exlo = (xlo >> _U32(16)) | (xhi << _U32(16))
+        xhi1 = jnp.where(emit, exhi, xhi)
+        xlo1 = jnp.where(emit, exlo, xlo)
+
+        # 3. q = x / c, r = x % c  (x < c * 2^32 now, so q < 2^32)
+        full = cc == _U32(1 << 16)  # c == 2^16: q = x >> 16 exactly
+        xf = _to_f32(xhi1) * 4294967296.0 + _to_f32(xlo1)
+        ccf = _to_f32(cc)
+        # stage 1: q1 = x // (c << 16) < 2^16
+        q1 = _div_stage(xf, ccf * 65536.0)
+        # r1 = x - q1 * (c << 16); fixups in u64 limb math
+        d1hi, d1lo = _mul_u32_shift16(q1, cc)
+        r1hi = xhi1 - d1hi - (xlo1 < d1lo).astype(_U32)
+        r1lo = xlo1 - d1lo
+        for _ in range(3):
+            ge = jnp.logical_or(
+                r1hi > (cc >> _U32(16)),
+                jnp.logical_and(r1hi == (cc >> _U32(16)),
+                                r1lo >= (cc << _U32(16))),
+            )
+            q1 = q1 + ge.astype(_U32)
+            nlo = r1lo - (cc << _U32(16))
+            r1hi = jnp.where(ge, r1hi - (cc >> _U32(16))
+                             - (r1lo < (cc << _U32(16))).astype(_U32), r1hi)
+            r1lo = jnp.where(ge, nlo, r1lo)
+        # after fixups r1 < c << 16 <= 2^32: r1 lives in r1lo
+        q2 = _div_stage(_to_f32(r1lo), ccf)
+        r2 = r1lo - q2 * cc
+        for _ in range(3):
+            ge = r2 >= cc
+            q2 = q2 + ge.astype(_U32)
+            r2 = jnp.where(ge, r2 - cc, r2)
+        q_lo = (q1 << _U32(16)) | q2
+        q_hi = q1 >> _U32(16)  # zero, kept for clarity
+
+        # c == 2^16 special case: q = x >> 16, r = x & 0xFFFF
+        q_lo = jnp.where(full, (xlo1 >> _U32(16)) | (xhi1 << _U32(16)), q_lo)
+        r_fin = jnp.where(full, xlo1 & _U32(0xFFFF), r2)
+
+        # 4. x' = (q << 16) | (cum + r)
+        nxhi = q_lo >> _U32(16)
+        nxlo = (q_lo << _U32(16)) | (cum_s + r_fin)
+
+        # 5. write the region: compacted halfwords at [ch - s_t, ch)
+        comp, rank, s_t = compact_flat(h, emit)
+        ch2 = ch - s_t.astype(_I32)
+
+        @pl.when(ch2 >= 0)
+        def _():
+            row0 = ch2 >> 7  # 128 expanded slots per row
+            lb = ch2 - (row0 << 7)  # in [0, 128)
+            placed = flat_roll_dyn(comp, lb)
+            flat = (
+                jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
+                + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+            )
+            hi_end = lb + s_t.astype(_I32)
+            win0 = exp_ref[0, pl.ds(row0, 8), :]
+            m0 = jnp.logical_and(flat >= lb, flat < hi_end)
+            exp_ref[0, pl.ds(row0, 8), :] = jnp.where(m0, placed, win0)
+            win1 = exp_ref[0, pl.ds(row0 + 8, 8), :]
+            m1 = (flat + 1024) < hi_end
+            exp_ref[0, pl.ds(row0 + 8, 8), :] = jnp.where(m1, placed, win1)
+
+        return (nxhi, nxlo, ch2)
+
+    xhi, xlo, ch = jax.lax.fori_loop(
+        0, tile_steps, body, (st_ref[0], st_ref[1], cur_s_ref[0])
+    )
+    st_ref[0], st_ref[1] = xhi, xlo
+    cur_s_ref[0] = ch
+
+    @pl.when(tau == n_tiles - 1)
+    def _():
+        # preamble: lane l's state as LE words 2l (lo) / 2l+1 (hi)
+        flat = (
+            jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+        )
+        lo_rows = _bcast_rows(xlo)
+        hi_rows = _bcast_rows(xhi)
+        for half in range(2):
+            word_idx = flat + half * 1024
+            lane = word_idx >> 1
+            lo_v = _lookup_rows(lo_rows, lane)
+            hi_v = _lookup_rows(hi_rows, lane)
+            pre_ref[0, pl.ds(half * 8, 8), :] = jnp.where(
+                (word_idx & 1) == 1, hi_v, lo_v
+            )
+        cur_ref[g_idx, 0] = ch
+
+
+def _mul_u32_shift16(q1: jax.Array, cc: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(q1 * cc) << 16 as u64 limbs, with q1 < 2^16, cc <= 2^16.
+
+    The product q1 * cc is < 2^32 (exact in one u32 multiply); shifting it
+    left 16 splits across the limbs.
+    """
+    p = q1 * cc
+    return p >> _U32(16), p << _U32(16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_len", "a_count", "cap_hw", "interpret")
+)
+def rans_encode_tiles(
+    symbols: jax.Array,
+    cum_vreg: jax.Array,
+    *,
+    block_len: int,
+    a_count: int,
+    cap_hw: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Encode step-major symbol tiles into rans16 group streams.
+
+    Arguments:
+      symbols: (NG, L*8, 128) int32 step-major (symbols_to_step_major).
+      cum_vreg: (8, 128) uint32 (prep_cum_vreg).
+      cap_hw: per-group region-section capacity in halfwords; multiple of
+        1024.  ``cursor < 0`` in the result means capacity overflow
+        (retry bigger); nothing is written out of bounds.
+
+    Returns ``(pre, expanded, cursor)``: (NG, 16, 128) u32 preamble words,
+    (NG, cap_hw // 128 + 16, 128) u32 halfword-expanded region buffer
+    (right-aligned: valid slots are [cursor, cap_hw); the +16 rows are
+    blend-window slack), (NG, 1) i32 cursors.
+    """
+    NG, rows, _ = symbols.shape
+    if rows != block_len * 8:
+        raise ValueError(f"symbols rows {rows} != 8 * block_len {block_len}")
+    if cap_hw % 1024:
+        raise ValueError(f"cap_hw {cap_hw} must be a multiple of 1024")
+    tile = min(TILE_STEPS, block_len)
+    if block_len % tile:
+        raise ValueError(f"block_len {block_len} % tile {tile} != 0")
+    n_tiles = block_len // tile
+    # +16 slack rows: the two 8-row blend windows of a write near the top
+    # of the buffer may extend past cap_hw
+    rowsE = cap_hw // 128 + 16
+    kern = functools.partial(
+        _rans_encode_kernel, a_count=a_count, tile_steps=tile,
+        n_tiles=n_tiles, cap_hw=cap_hw,
+    )
+    exp, pre, cur = pl.pallas_call(
+        kern,
+        grid=(NG, n_tiles),
+        out_shape=(
+            jax.ShapeDtypeStruct((NG, rowsE, 128), _U32),
+            jax.ShapeDtypeStruct((NG, 16, 128), _U32),
+            jax.ShapeDtypeStruct((NG, 1), _I32),
+        ),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda g, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile * 8, 128),
+                lambda g, t, n_tiles=n_tiles: (g, n_tiles - 1 - t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rowsE, 128), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, 128), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (NG, 1) array
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, 128), _U32),
+            pltpu.SMEM((1,), _I32),
+        ],
+        interpret=interpret,
+    )(cum_vreg, symbols)
+    return pre, exp, cur
+
+
+@jax.jit
+def pack_expanded(exp: jax.Array) -> jax.Array:
+    """(NG, rowsE, 128) u32 halfword-expanded -> (NG, rowsE//2, 128) u32
+    LE words (slot 2j -> low half, 2j+1 -> high half)."""
+    NG, rowsE, _ = exp.shape
+    flat = exp.reshape(NG, rowsE * 64, 2)
+    return (flat[..., 0] | (flat[..., 1] << 16)).reshape(NG, rowsE // 2, 128)

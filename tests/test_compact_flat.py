@@ -1,0 +1,63 @@
+"""compact_flat must equal NumPy boolean compress for any mask."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from range_coder_rust_tpu.kernels.compact_flat import (
+    compact_flat,
+    flat_roll_dyn,
+    flat_roll_pow2,
+)
+
+
+def _run(vals, mask):
+    out, rank, total = compact_flat(
+        jnp.asarray(vals.reshape(8, 128)), jnp.asarray(mask.reshape(8, 128))
+    )
+    return np.asarray(out).reshape(-1), int(np.asarray(total))
+
+
+def test_compact_random_masks():
+    rng = np.random.default_rng(0)
+    for density in (0.0, 0.02, 0.3, 0.5, 0.8, 0.97, 1.0):
+        for _ in range(20):
+            vals = rng.integers(0, 1 << 16, size=1024).astype(np.uint32)
+            mask = rng.random(1024) < density
+            got, total = _run(vals, mask)
+            want = vals[mask]
+            assert total == want.size
+            np.testing.assert_array_equal(got[: want.size], want)
+
+
+def test_compact_adversarial_masks():
+    vals = np.arange(1024).astype(np.uint32)
+    masks = [
+        np.zeros(1024, bool),
+        np.ones(1024, bool),
+        np.arange(1024) % 2 == 1,
+        np.arange(1024) % 2 == 0,
+        np.arange(1024) >= 1023,          # single last element
+        np.arange(1024) < 1,              # single first element
+        np.arange(1024) >= 512,           # back half
+        (np.arange(1024) % 128) == 127,   # one per row, end of row
+        (np.arange(1024) // 128) % 2 == 0,  # alternating rows
+    ]
+    for mask in masks:
+        got, total = _run(vals, mask)
+        want = vals[mask]
+        assert total == want.size
+        np.testing.assert_array_equal(got[: want.size], want)
+
+
+def test_flat_rolls():
+    x = np.arange(1024).astype(np.uint32).reshape(8, 128)
+    for d in (1, 2, 64, 128, 256, 512, -1, -128, -300):
+        got = np.asarray(flat_roll_pow2(jnp.asarray(x), d)).reshape(-1)
+        want = np.roll(np.arange(1024), d)
+        np.testing.assert_array_equal(got, want)
+    for s in (0, 1, 127, 128, 1000):
+        got = np.asarray(
+            flat_roll_dyn(jnp.asarray(x), jnp.int32(s))
+        ).reshape(-1)
+        np.testing.assert_array_equal(got, np.roll(np.arange(1024), s))
