@@ -1,4 +1,4 @@
-"""Benchmark: encode+decode throughput of the block-parallel TPU coder.
+"""Benchmark: encode+decode throughput of the TPU coder (rans16 flagship).
 
 Prints ONE JSON line:
   {"metric": "encode+decode GB/s/chip", "value": N, "unit": "GB/s",
@@ -9,13 +9,22 @@ measured here: the C++ scalar golden coder (byte-identical semantics to the
 Rust crate) timed on a sample of the same corpus on this host's CPU.
 ``vs_baseline`` is our GB/s divided by the scalar coder's GB/s.
 
-Corpus: deterministic 64 MB Zipf-ish byte stream (config 2 of BASELINE.md).
-Round-trip equality and compressed-size-vs-scalar are asserted, not just
-timed.  Runs on whatever jax.devices()[0] is — the real TPU chip under the
-driver, CPU elsewhere.
+Profiles:
+  rans16 (default) — interleaved word-renormalized rANS, Pallas kernels
+    (rans.py, kernels/rans_*.py).  Device numbers time the jit-fused
+    transpose -> encode-kernel -> pack chain and the decode kernel on
+    device-resident data; container bits/sym uses the REAL container bytes
+    (api.encode), per the round-1 verdict.
+  planar — the byte-exact block-parallel range coder (blocks.py).
 
-Env knobs: RC_BENCH_MB (corpus size, default 64), RC_BENCH_REPS (timed
-repetitions, default 3), RC_BENCH_K (table precision, default 16).
+Corpus: deterministic Zipf-ish byte stream.  Round-trip equality and
+compressed-size-vs-scalar are asserted, not just timed.
+
+Env knobs: RC_BENCH_MB (corpus MB, default 64), RC_BENCH_REPS (default 3),
+RC_BENCH_L (lane/block length, default 4096 rans16 / 512 planar),
+RC_BENCH_PROFILE (rans16|planar), RC_BENCH_E2E_MB (end-to-end api slice,
+default 8 — host<->device transfers ride a network tunnel here, so the e2e
+number under-reports what a locally-attached chip would do).
 """
 
 from __future__ import annotations
@@ -41,13 +50,23 @@ def make_corpus(n_bytes: int, seed: int = 0xC0) -> np.ndarray:
     return rng.choice(256, size=n_bytes, p=probs).astype(np.int32)
 
 
+def timed_best(fn, block, reps):
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        block(fn())
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def main() -> None:
+    profile = os.environ.get("RC_BENCH_PROFILE", "rans16")
     mb = int(os.environ.get("RC_BENCH_MB", "64"))
     reps = int(os.environ.get("RC_BENCH_REPS", "3"))
     k = int(os.environ.get("RC_BENCH_K", "16"))
+    e2e_mb = int(os.environ.get("RC_BENCH_E2E_MB", "8"))
 
-    # persistent compile cache: the remote TPU compile service has high and
-    # variable latency; cached executables make re-runs start in seconds
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
 
@@ -58,25 +77,24 @@ def main() -> None:
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from range_coder_rust_tpu.blocks import default_capacity, decode_blocks, encode_blocks
+    from range_coder_rust_tpu import api
     from range_coder_rust_tpu.models.table import table_from_data_pow2
     from range_coder_rust_tpu.native import golden
 
     dev = jax.devices()[0]
-    log(f"device: {dev} platform={dev.platform}")
+    log(f"device: {dev} platform={dev.platform} profile={profile}")
 
-    L = int(os.environ.get("RC_BENCH_L", "512"))
+    default_l = "65536" if profile == "rans16" else "512"
+    L = int(os.environ.get("RC_BENCH_L", default_l))
     n = mb << 20
-    B = n // L
-    data = make_corpus(n).reshape(B, L)
-    log(f"corpus: {mb} MB, {B} blocks x {L} symbols, k={k}")
-
+    data = make_corpus(n)
+    log(f"corpus: {mb} MB, L={L}, k={k}")
     t = table_from_data_pow2(data, 256, k)
 
     # --- scalar baseline FIRST (C++ golden, reference semantics) -----------
     # measured before any device work: the axon tunnel's host threads
     # otherwise contend for the 2 cores and understate the baseline
-    sample = data[: max(1, B // 16)].reshape(-1)  # ~4 MB sample
+    sample = data[: min(n, 4 << 20)]
     t0 = time.time()
     ref_code = golden.encode(sample, t.c, t.cum[:-1], 1 << k)
     ref_enc_t = time.time() - t0
@@ -85,66 +103,174 @@ def main() -> None:
     ref_dec_t = time.time() - t0
     assert np.array_equal(ref_dec.astype(np.int64), sample.astype(np.int64))
     base_gbps = sample.size / 1e9 / (ref_enc_t + ref_dec_t)
-    log(f"scalar C++ baseline: {base_gbps:.3f} GB/s on {sample.size >> 20} MB sample")
-
-    c = jax.device_put(jnp.asarray(t.c), dev)
-    cum = jax.device_put(jnp.asarray(t.cum), dev)
-    cap = default_capacity(L, k)
-    syms = jax.device_put(jnp.asarray(data), dev)
-
-
-    # --- compile (untimed) -------------------------------------------------
-    t0 = time.time()
-    code, lengths = encode_blocks(syms, c, cum, k=k, capacity=cap)
-    jax.block_until_ready((code, lengths))
-    log(f"encode compile+first run: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    dec = decode_blocks(code, c, cum, k=k, block_len=L)
-    jax.block_until_ready(dec)
-    log(f"decode compile+first run: {time.time() - t0:.1f}s")
-
-    # --- correctness -------------------------------------------------------
-    assert np.array_equal(np.asarray(dec), data), "round trip failed"
-    lengths_np = np.asarray(lengths)
-    assert int(lengths_np.max()) <= cap, "capacity overflow"
-    compressed = int(lengths_np.sum())
-    log(f"compressed: {compressed / 1e6:.2f} MB ({8 * compressed / n:.3f} bits/sym)")
-
-    # --- timed reps --------------------------------------------------------
-    enc_times, dec_times = [], []
-    for _ in range(reps):
-        t0 = time.time()
-        code, lengths = encode_blocks(syms, c, cum, k=k, capacity=cap)
-        jax.block_until_ready((code, lengths))
-        enc_times.append(time.time() - t0)
-        t0 = time.time()
-        dec = decode_blocks(code, c, cum, k=k, block_len=L)
-        jax.block_until_ready(dec)
-        dec_times.append(time.time() - t0)
-    enc_t = min(enc_times)
-    dec_t = min(dec_times)
-    gbps = n / 1e9 / (enc_t + dec_t)
-    log(f"encode {n / 1e9 / enc_t:.3f} GB/s, decode {n / 1e9 / dec_t:.3f} GB/s, "
-        f"combined {gbps:.3f} GB/s")
-
-    # compressed-size parity vs scalar reference on the sample
     ref_bits = 8 * len(ref_code) / sample.size
-    our_bits = 8 * compressed / n
-    log(f"bits/sym: ours {our_bits:.4f} vs scalar {ref_bits:.4f}")
+    log(f"scalar C++ baseline: {base_gbps:.3f} GB/s, {ref_bits:.4f} bits/sym "
+        f"on {sample.size >> 20} MB sample")
+
+    if profile == "rans16":
+        enc_t, dec_t, cont_bits = bench_rans16(jax, jnp, dev, data, t, L, reps)
+    else:
+        enc_t, dec_t, cont_bits = bench_planar(jax, jnp, dev, data, t, L, k, reps)
+
+    gbps = n / 1e9 / (enc_t + dec_t)
+    log(f"device encode {n / 1e9 / enc_t:.3f} GB/s, decode "
+        f"{n / 1e9 / dec_t:.3f} GB/s, combined {gbps:.3f} GB/s")
+    log(f"bits/sym (container-inclusive): ours {cont_bits:.4f} vs scalar "
+        f"stream {ref_bits:.4f}")
+
+    # --- end-to-end api.encode/decode (bytes in, bytes out) ----------------
+    e2e_n = min(n, e2e_mb << 20)
+    cfg = api.CodecConfig(k=16, block_len=L, profile=profile) \
+        if profile == "rans16" else api.CodecConfig(k=k, block_len=L)
+    e2e_data = data[:e2e_n].astype(np.uint8).tobytes()
+    blob = api.encode(e2e_data, alphabet=256, config=cfg)
+    t0 = time.time()
+    blob = api.encode(e2e_data, alphabet=256, config=cfg)
+    e2e_enc_t = time.time() - t0
+    t0 = time.time()
+    rt = api.decode(blob)
+    e2e_dec_t = time.time() - t0
+    assert np.array_equal(rt, data[:e2e_n]), "api round trip failed"
+    e2e_gbps = e2e_n / 1e9 / (e2e_enc_t + e2e_dec_t)
+    log(f"end-to-end api ({e2e_n >> 20} MB, incl. tunnel transfers + host "
+        f"assembly): {e2e_gbps:.3f} GB/s")
 
     print(json.dumps({
         "metric": "encode+decode GB/s/chip",
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / base_gbps, 3),
+        "profile": profile,
         "encode_gbps": round(n / 1e9 / enc_t, 4),
         "decode_gbps": round(n / 1e9 / dec_t, 4),
+        "e2e_gbps": round(e2e_gbps, 4),
         "corpus_mb": mb,
-        "bits_per_symbol": round(our_bits, 4),
+        "lane_len": L,
+        "bits_per_symbol_container": round(cont_bits, 4),
         "scalar_bits_per_symbol": round(ref_bits, 4),
+        "size_vs_scalar": round(cont_bits / ref_bits, 4),
         "baseline_gbps_scalar_cpp": round(base_gbps, 4),
         "device": str(dev),
     }))
+
+
+def bench_rans16(jax, jnp, dev, data, t, L, reps):
+    """Device-resident chained encode + decode timing, rans16 profile."""
+    from range_coder_rust_tpu import rans_codec
+    from range_coder_rust_tpu import format as fmt
+    from range_coder_rust_tpu.kernels.decode_pallas import prep_cum_vreg
+    from range_coder_rust_tpu.kernels.encode_pallas import symbols_to_step_major
+    from range_coder_rust_tpu.kernels.rans_decode import (
+        rans_decode_words, stream_bytes_to_words)
+    from range_coder_rust_tpu.kernels.rans_encode import (
+        pack_expanded, rans_encode_tiles)
+
+    G = rans_codec.G
+    n = data.size
+    ng = n // (G * L)
+    assert ng >= 1, f"corpus too small for one group at L={L}"
+    nfit = ng * G * L
+    rows = data[:nfit].reshape(ng * G, L)
+    NS, seg = rans_codec._segments(L, rans_codec.SEG)
+
+    cum_vreg = jax.device_put(jnp.asarray(prep_cum_vreg(t.cum)), dev)
+    ent = max(rans_codec._entropy_bits(t), 0.05)
+    cap_hw = rans_codec._cap_hw_for(seg, ent, 0)
+    sm = jax.jit(symbols_to_step_major)
+
+    def chain_enc(syms):
+        """The device encode chain (segment emissions stay on device)."""
+        state, outs = None, []
+        for s in range(NS - 1, -1, -1):
+            pre, exp, cur, state = rans_encode_tiles(
+                sm(syms[:, s * seg : (s + 1) * seg]), cum_vreg,
+                block_len=seg, a_count=256, cap_hw=cap_hw,
+                st_in=state, chain=state is not None, return_state=True)
+            outs.append((pack_expanded(exp), cur))
+        return pre, outs
+
+    syms = jax.device_put(jnp.asarray(rows), dev)
+    t0 = time.time()
+    pre, outs = chain_enc(syms)
+    jax.block_until_ready((pre, outs))
+    for _, cur in outs:
+        assert int(np.asarray(cur).min()) >= 0, "rans16 capacity overflow"
+    log(f"rans16 encode compile+first: {time.time() - t0:.1f}s "
+        f"(ng={ng}, NS={NS}, cap_hw={cap_hw})")
+
+    # real container via the product path (also the size measurement)
+    blob = rans_codec.encode(data[:nfit], alphabet=256, table=t, block_len=L)
+    cont_bits = 8 * len(blob) / nfit
+    cont = fmt.unpack(blob)
+    parsed = [rans_codec._parse_payload(p, L, rans_codec.SEG)
+              for p in cont.payloads]
+    seg_words = []
+    for s in range(NS):
+        bufs = [(p + r[s]) if s == 0 else r[s] for p, r in parsed]
+        wrows = max((len(b) + 511) // 512 for b in bufs) + 10
+        wrows = -(-wrows // 8) * 8
+        seg_words.append(jax.device_put(jnp.asarray(np.stack(
+            [stream_bytes_to_words(b, wrows) for b in bufs])), dev))
+
+    def chain_dec():
+        state, parts = None, []
+        for s in range(NS):
+            dec, state = rans_decode_words(
+                seg_words[s], cum_vreg, block_len=seg, a_count=256,
+                st_in=state, primed=s == 0, return_state=True)
+            parts.append(dec)
+        return parts
+
+    t0 = time.time()
+    parts = chain_dec()
+    jax.block_until_ready(parts)
+    log(f"rans16 decode compile+first: {time.time() - t0:.1f}s")
+    got = np.concatenate(
+        [np.asarray(p).reshape(ng * G, seg) for p in parts], axis=1)
+    assert np.array_equal(got, rows), "round trip failed"
+
+    block = jax.block_until_ready
+    enc_t = timed_best(lambda: chain_enc(syms), block, reps)
+    dec_t = timed_best(chain_dec, block, reps)
+    # scale device times from the fitted portion to the full corpus
+    scale = n / nfit
+    return enc_t * scale, dec_t * scale, cont_bits
+
+
+def bench_planar(jax, jnp, dev, data, t, L, k, reps):
+    """Round-1 planar path timing (kept for comparison/regression)."""
+    from range_coder_rust_tpu.blocks import (
+        decode_blocks, default_capacity, encode_blocks)
+
+    n = data.size
+    B = n // L
+    rows = data[: B * L].reshape(B, L)
+    c = jax.device_put(jnp.asarray(t.c), dev)
+    cum = jax.device_put(jnp.asarray(t.cum), dev)
+    cap = default_capacity(L, k)
+    syms = jax.device_put(jnp.asarray(rows), dev)
+
+    t0 = time.time()
+    code, lengths = encode_blocks(syms, c, cum, k=k, capacity=cap)
+    jax.block_until_ready((code, lengths))
+    log(f"planar encode compile+first: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    dec = decode_blocks(code, c, cum, k=k, block_len=L)
+    jax.block_until_ready(dec)
+    log(f"planar decode compile+first: {time.time() - t0:.1f}s")
+    assert np.array_equal(np.asarray(dec), rows), "round trip failed"
+    lengths_np = np.asarray(lengths)
+    assert int(lengths_np.max()) <= cap, "capacity overflow"
+    # container-inclusive: payloads + 4B length + 4B CRC per block
+    cont_bits = 8 * (int(lengths_np.sum()) + 8 * B) / (B * L)
+
+    block = jax.block_until_ready
+    enc_t = timed_best(
+        lambda: encode_blocks(syms, c, cum, k=k, capacity=cap), block, reps)
+    dec_t = timed_best(
+        lambda: decode_blocks(code, c, cum, k=k, block_len=L), block, reps)
+    scale = n / (B * L)
+    return enc_t * scale, dec_t * scale, cont_bits
 
 
 if __name__ == "__main__":

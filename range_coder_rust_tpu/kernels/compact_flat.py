@@ -93,3 +93,49 @@ def flat_roll_dyn(x: jax.Array, shift: jax.Array) -> jax.Array:
         rolled = flat_roll_pow2(y, bit)
         y = jnp.where((shift & bit) != 0, rolled, y)
     return y
+
+
+def flat_roll_dyn_mosaic(x: jax.Array, shift: jax.Array) -> jax.Array:
+    """Like :func:`flat_roll_dyn` but with hardware dynamic rotates
+    (``pltpu.roll`` takes traced shifts) — 3 rolls + a row fixup instead
+    of 10 conditional pow2 rounds.  Pallas-only (compiled or interpret)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    lanes = shift & 127
+    rows = jax.lax.shift_right_logical(shift, 7)
+    y = pltpu.roll(x, lanes, axis=1)
+    # lanes that wrapped within their row must come from the previous row
+    lane_idx = jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+    y_prev = pltpu.roll(y, 1, axis=0)
+    y = jnp.where(lane_idx < lanes, y_prev, y)
+    return pltpu.roll(y, rows, axis=0)
+
+
+def compact_flat_packed(
+    v: jax.Array, active: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`compact_flat` with (value, distance, active) packed into ONE
+    u32 per lane — one roll per routing round instead of three.
+
+    ``v`` must be u32 with only the low 16 bits set (halfword payloads).
+    Layout: bits 0-15 value, 16-25 remaining distance, 26 active flag.
+    Returns ``(compacted, rank, total)`` exactly like :func:`compact_flat`
+    (compacted values are masked back to 16 bits).
+    """
+    act0 = active.astype(_I32)
+    rank, total = _lane_prefix_flat(act0)
+    flat = (
+        jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
+        + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+    )
+    dist = jnp.where(act0 == 1, flat - rank, 0).astype(_U32)
+    act_bit = _U32(1 << 26)
+    w = v | (dist << _U32(16)) | jnp.where(active, act_bit, _U32(0))
+    for i in range(10):
+        bit = 1 << i
+        bit16 = _U32(bit << 16)
+        src = flat_roll_pow2(w, -bit)
+        arriving = (src & act_bit != 0) & (src & bit16 != 0)
+        staying = (w & act_bit != 0) & (w & bit16 == 0)
+        w = jnp.where(arriving, src - bit16, jnp.where(staying, w, w & ~act_bit))
+    return w & _U32(0xFFFF), rank, total

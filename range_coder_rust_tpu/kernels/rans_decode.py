@@ -49,36 +49,54 @@ TILE_STEPS = 64
 _WIN_ROWS = 8
 
 
-def _rans_decode_kernel(probe_ref, cum_ref, stream_ref, out_ref, st_ref,
-                        cur_ref, *, block_len: int, a_count: int,
-                        tile_steps: int):
+def _rans_decode_kernel(probe_ref, cum_ref, aux_ref, stream_ref, st_in_ref,
+                        out_ref, st_out_ref, st_ref, cur_ref, *,
+                        block_len: int, a_count: int, tile_steps: int,
+                        primed: bool):
     """One (group, step-tile).  probe_ref SMEM (4,) u32 = cum values at the
     two data-independent early probe positions (see rans_decode_words);
     cum_ref (8,128) u32 (prep_cum_vreg); stream_ref (1, rowsW, 128) u32 LE
-    words; out_ref (1, tile_steps*8, 128) i32; st_ref VMEM (2, 8, 128) u32
-    state limbs; cur_ref SMEM (1,) i32 absolute halfword cursor."""
+    words; st_in_ref (1, 2, 8, 128) u32 carried-in states (segment
+    chaining — used when not ``primed``); out_ref (1, tile_steps*8, 128)
+    i32; st_out_ref (1, 2, 8, 128) u32 final states; st_ref VMEM
+    (2, 8, 128) u32 state limbs; cur_ref SMEM (1,) i32 absolute halfword
+    cursor.  ``primed``: the stream starts with the 8*G-byte preamble
+    (segment 0); otherwise it is a bare region section and states come
+    from st_in_ref."""
     tau = pl.program_id(1)
-    # gathers dominate the step, so probe only the table rows that can hold
-    # real entries (a_count + 1 cum values; power-of-two row count for the
-    # select tree)
-    n_rows = 1
-    while n_rows * 128 < a_count + 2 and n_rows < 8:
-        n_rows *= 2
-    cum_rows = _bcast_rows(cum_ref[:])[:n_rows]
+    # gathers dominate the step.  For a_count <= 256 ("packed" path) the
+    # search probes ONE broadcast row of halfword-packed ``cum[j+1]-1``
+    # values (1 gather/probe) and the final cum/c lookup reads a single
+    # per-symbol word ``cum[s] | (c[s]-1) << 16`` from two rows; the
+    # generic path gathers the plain cum table (2 gathers + select/probe).
+    packed = a_count <= 256
+    if packed:
+        srow = _bcast_rows(aux_ref[0:1, :])
+        w2_rows = _bcast_rows(aux_ref[1:3, :])
+    else:
+        n_rows = 1
+        while n_rows * 128 < a_count + 2 and n_rows < 8:
+            n_rows *= 2
+        cum_rows = _bcast_rows(cum_ref[:])[:n_rows]
     search_iters = max(1, (a_count - 1).bit_length())
 
     @pl.when(tau == 0)
     def _():
-        # prime: lane l's state = LE words 2l (lo) and 2l+1 (hi)
-        lane = (
-            jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
-            + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
-        )
-        pre = stream_ref[0, 0:16, :]  # 2048 words = the 8*G-byte preamble
-        pre_rows = _bcast_rows(pre)
-        st_ref[1] = _lookup_rows(pre_rows, lane * 2)      # x.lo
-        st_ref[0] = _lookup_rows(pre_rows, lane * 2 + 1)  # x.hi (< 2^16)
-        cur_ref[0] = 4 * G  # first region halfword (after the preamble)
+        if primed:
+            # prime: lane l's state = LE words 2l (lo) and 2l+1 (hi)
+            lane = (
+                jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
+                + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+            )
+            pre = stream_ref[0, 0:16, :]  # 2048 words = 8*G-byte preamble
+            pre_rows = _bcast_rows(pre)
+            st_ref[1] = _lookup_rows(pre_rows, lane * 2)      # x.lo
+            st_ref[0] = _lookup_rows(pre_rows, lane * 2 + 1)  # x.hi (<2^16)
+            cur_ref[0] = 4 * G  # first region halfword (after the preamble)
+        else:
+            st_ref[0] = st_in_ref[0, 0]
+            st_ref[1] = st_in_ref[0, 1]
+            cur_ref[0] = 0  # bare region section
 
     def body(t, carry):
         xhi, xlo, ch = carry
@@ -104,12 +122,24 @@ def _rans_decode_kernel(probe_ref, cum_ref, stream_ref, out_ref, st_ref,
             it = 2
         for _ in range(it, search_iters):
             mid = (lo + hi) >> 1
-            go = _lookup_rows(cum_rows, mid) <= slot
+            if packed:
+                # cum[mid] <= slot  <=>  slot > cum[mid]-1 (= packed j=mid-1)
+                jm = jnp.maximum(mid - 1, 0)
+                word = _lookup_rows(srow, jm >> 1)
+                v = jnp.where((jm & 1) == 1, word >> _U32(16), word)
+                go = (slot > (v & _U32(0xFFFF))) | (mid == 0)
+            else:
+                go = _lookup_rows(cum_rows, mid) <= slot
             lo = jnp.where(go, mid, lo)
             hi = jnp.where(go, hi, mid)
         idx = lo
-        cum_s = _lookup_rows(cum_rows, idx)
-        cc = _lookup_rows(cum_rows, idx + 1) - cum_s
+        if packed:
+            w2 = _lookup_rows(w2_rows, idx)
+            cum_s = w2 & _U32(0xFFFF)
+            cc = (w2 >> _U32(16)) + _U32(1)
+        else:
+            cum_s = _lookup_rows(cum_rows, idx)
+            cc = _lookup_rows(cum_rows, idx + 1) - cum_s
 
         # 3. x = c * (x >> 16) + (slot - cum)  (x < 2^48 => x>>16 fits u32)
         q = (xlo >> _U32(16)) | (xhi << _U32(16))
@@ -143,9 +173,16 @@ def _rans_decode_kernel(probe_ref, cum_ref, stream_ref, out_ref, st_ref,
     st_ref[0], st_ref[1] = xhi, xlo
     cur_ref[0] = ch
 
+    @pl.when(tau == block_len // tile_steps - 1)
+    def _():
+        st_out_ref[0, 0] = xhi
+        st_out_ref[0, 1] = xlo
+
 
 @functools.partial(
-    jax.jit, static_argnames=("block_len", "a_count", "interpret")
+    jax.jit,
+    static_argnames=("block_len", "a_count", "primed", "return_state",
+                     "interpret"),
 )
 def rans_decode_words(
     words: jax.Array,
@@ -153,48 +190,96 @@ def rans_decode_words(
     *,
     block_len: int,
     a_count: int,
+    st_in: jax.Array | None = None,
+    primed: bool = True,
+    return_state: bool = False,
     interpret: bool = False,
-) -> jax.Array:
-    """Decode (NG, rowsW, 128) LE-word group streams -> (NG, G, L) symbols."""
+):
+    """Decode (NG, rowsW, 128) LE-word group streams -> (NG, G, L) symbols.
+
+    ``primed=False`` + ``st_in`` (NG, 2, 8, 128): segment-chaining mode —
+    the words are a bare region section (no preamble) and lane states
+    carry over from the previous segment (rans_codec.py).
+    ``return_state``: also return the final (NG, 2, 8, 128) states.
+    """
     NG, rowsW, _ = words.shape
     tile = min(TILE_STEPS, block_len)
     if block_len % tile:
         raise ValueError(f"block_len {block_len} % tile {tile} != 0")
     n_tiles = block_len // tile
+    if st_in is None:
+        if not primed:
+            raise ValueError("primed=False requires st_in")
+        st_in = jnp.zeros((NG, 2, 8, 128), _U32)
     kern = functools.partial(
         _rans_decode_kernel,
         block_len=block_len,
         a_count=a_count,
         tile_steps=tile,
+        primed=primed,
     )
     # cum values at the two data-independent early probe positions
     m1 = a_count >> 1
     m2a, m2b = m1 >> 1, m1 + ((a_count - m1) >> 1)
     flat = cum_vreg.reshape(-1)
     probes = jnp.stack([flat[m1], flat[m2a], flat[m2b], flat[0]])
-    out = pl.pallas_call(
+    aux = aux_from_cum_flat(flat, a_count)
+    out, st_out = pl.pallas_call(
         kern,
         grid=(NG, n_tiles),
-        out_shape=jax.ShapeDtypeStruct((NG, block_len * 8, 128), _I32),
+        out_shape=(
+            jax.ShapeDtypeStruct((NG, block_len * 8, 128), _I32),
+            jax.ShapeDtypeStruct((NG, 2, 8, 128), _U32),
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda g, t: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rowsW, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 8, 128), lambda g, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile * 8, 128), lambda g, t: (g, t, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile * 8, 128), lambda g, t: (g, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 2, 8, 128), lambda g, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 8, 128), _U32),
             pltpu.SMEM((1,), _I32),
         ],
         interpret=interpret,
-    )(probes, cum_vreg, words)
+    )(probes, cum_vreg, aux, words, st_in)
     out = out.reshape(NG, block_len, 8, 128)
-    return jnp.transpose(out, (0, 2, 3, 1)).reshape(NG, G, block_len)
+    sym = jnp.transpose(out, (0, 2, 3, 1)).reshape(NG, G, block_len)
+    if return_state:
+        return sym, st_out
+    return sym
+
+
+def aux_from_cum_flat(flat: jax.Array, a_count: int) -> jax.Array:
+    """Derive the (8, 128) packed lookup table from the flat cum values
+    (traced, inside jit — costs a handful of 1 KB vector ops once per
+    call).  Row 0: halfword pairs of ``cum[j+1]-1`` (j ascending) for the
+    1-gather-per-probe binary search; rows 1-2: per-symbol words
+    ``cum[s] | (c[s]-1) << 16``.  Only meaningful for a_count <= 256."""
+    a = min(a_count, 256)
+    c1 = jnp.zeros(256, _U32)
+    c1 = c1.at[:a].set(flat[1 : a + 1] - _U32(1))
+    srow = c1[0::2] | (c1[1::2] << _U32(16))  # (128,)
+    w2 = jnp.zeros(256, _U32)
+    w2 = w2.at[:a].set(
+        flat[:a] | ((flat[1 : a + 1] - flat[:a] - _U32(1)) << _U32(16))
+    )
+    return jnp.concatenate(
+        [srow.reshape(1, 128), w2.reshape(2, 128),
+         jnp.zeros((5, 128), _U32)], axis=0)
 
 
 @jax.jit

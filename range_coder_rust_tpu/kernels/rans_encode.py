@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .compact_flat import compact_flat, flat_roll_dyn
+from .compact_flat import compact_flat_packed, flat_roll_dyn_mosaic
 from .decode_pallas import _bcast_rows, _lookup_rows
 
 _U32 = jnp.uint32
@@ -65,27 +65,40 @@ def _div_stage(num_f: jax.Array, den_f: jax.Array) -> jax.Array:
     return jnp.where(q > _U32(2), q - _U32(2), _U32(0))
 
 
-def _rans_encode_kernel(cum_ref, sym_ref, exp_ref, pre_ref, cur_ref,
-                        st_ref, cur_s_ref, *, a_count: int,
-                        tile_steps: int, n_tiles: int, cap_hw: int):
+def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, st_in_ref, exp_ref,
+                        pre_ref, cur_ref, st_out_ref, st_ref, cur_s_ref, *,
+                        a_count: int, tile_steps: int, n_tiles: int,
+                        cap_hw: int, chain: bool):
     """One (group, reversed step-tile).  cum_ref (8,128) u32; sym_ref
     (1, tile_steps*8, 128) i32 (the tile's symbols, step-ascending rows —
-    the index map hands tiles in reverse order); exp_ref (1, rowsE, 128)
-    u32 halfword-expanded stream (revisited); pre_ref (1, 16, 128) u32
-    preamble words; cur_ref SMEM-out (1, 1) i32 final cursor; scratch:
+    the index map hands tiles in reverse order); st_in_ref (1, 2, 8, 128)
+    u32 carried-in state limbs (used when ``chain`` — segment chaining,
+    see rans_codec.py); exp_ref (1, rowsE, 128) u32 halfword-expanded
+    stream (revisited); pre_ref (1, 16, 128) u32 preamble words; cur_ref
+    SMEM-out (1, 1) i32 final cursor; st_out_ref (1, 2, 8, 128) u32 final
+    state limbs (feed the next — earlier-t — segment's call); scratch:
     st_ref (2, 8, 128) u32 state limbs, cur_s_ref SMEM (1,) i32 cursor."""
     tau = pl.program_id(1)
     g_idx = pl.program_id(0)
 
-    n_rows = 1
-    while n_rows * 128 < a_count + 2 and n_rows < 8:
-        n_rows *= 2
-    cum_rows = _bcast_rows(cum_ref[:])[:n_rows]
+    packed = a_count <= 256
+    if packed:
+        # per-symbol word cum[s] | (c[s]-1) << 16 (aux_from_cum_flat)
+        w2_rows = _bcast_rows(aux_ref[1:3, :])
+    else:
+        n_rows = 1
+        while n_rows * 128 < a_count + 2 and n_rows < 8:
+            n_rows *= 2
+        cum_rows = _bcast_rows(cum_ref[:])[:n_rows]
 
     @pl.when(tau == 0)
     def _():
-        st_ref[0] = jnp.full((8, 128), 1, _U32)   # x = 2^32
-        st_ref[1] = jnp.zeros((8, 128), _U32)
+        if chain:
+            st_ref[0] = st_in_ref[0, 0]
+            st_ref[1] = st_in_ref[0, 1]
+        else:
+            st_ref[0] = jnp.full((8, 128), 1, _U32)   # x = 2^32
+            st_ref[1] = jnp.zeros((8, 128), _U32)
         cur_s_ref[0] = cap_hw
 
     def body(j, carry):
@@ -93,8 +106,13 @@ def _rans_encode_kernel(cum_ref, sym_ref, exp_ref, pre_ref, cur_ref,
         t_local = tile_steps - 1 - j
         sym = sym_ref[0, pl.ds(t_local * 8, 8), :]
 
-        cum_s = _lookup_rows(cum_rows, sym)
-        cc = _lookup_rows(cum_rows, sym + 1) - cum_s
+        if packed:
+            w2 = _lookup_rows(w2_rows, sym)
+            cum_s = w2 & _U32(0xFFFF)
+            cc = (w2 >> _U32(16)) + _U32(1)
+        else:
+            cum_s = _lookup_rows(cum_rows, sym)
+            cc = _lookup_rows(cum_rows, sym + 1) - cum_s
 
         # 2. renorm: emit one halfword where x >= c << 32  <=>  x.hi >= c
         emit = xhi >= cc
@@ -144,14 +162,14 @@ def _rans_encode_kernel(cum_ref, sym_ref, exp_ref, pre_ref, cur_ref,
         nxlo = (q_lo << _U32(16)) | (cum_s + r_fin)
 
         # 5. write the region: compacted halfwords at [ch - s_t, ch)
-        comp, rank, s_t = compact_flat(h, emit)
+        comp, rank, s_t = compact_flat_packed(h, emit)
         ch2 = ch - s_t.astype(_I32)
 
         @pl.when(ch2 >= 0)
         def _():
             row0 = ch2 >> 7  # 128 expanded slots per row
             lb = ch2 - (row0 << 7)  # in [0, 128)
-            placed = flat_roll_dyn(comp, lb)
+            placed = flat_roll_dyn_mosaic(comp, lb)
             flat = (
                 jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
                 + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
@@ -189,6 +207,8 @@ def _rans_encode_kernel(cum_ref, sym_ref, exp_ref, pre_ref, cur_ref,
             pre_ref[0, pl.ds(half * 8, 8), :] = jnp.where(
                 (word_idx & 1) == 1, hi_v, lo_v
             )
+        st_out_ref[0, 0] = xhi
+        st_out_ref[0, 1] = xlo
         cur_ref[g_idx, 0] = ch
 
 
@@ -203,7 +223,9 @@ def _mul_u32_shift16(q1: jax.Array, cc: jax.Array) -> Tuple[jax.Array, jax.Array
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_len", "a_count", "cap_hw", "interpret")
+    jax.jit,
+    static_argnames=("block_len", "a_count", "cap_hw", "chain",
+                     "return_state", "interpret"),
 )
 def rans_encode_tiles(
     symbols: jax.Array,
@@ -212,8 +234,11 @@ def rans_encode_tiles(
     block_len: int,
     a_count: int,
     cap_hw: int,
+    st_in: jax.Array | None = None,
+    chain: bool = False,
+    return_state: bool = False,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+):
     """Encode step-major symbol tiles into rans16 group streams.
 
     Arguments:
@@ -222,11 +247,16 @@ def rans_encode_tiles(
       cap_hw: per-group region-section capacity in halfwords; multiple of
         1024.  ``cursor < 0`` in the result means capacity overflow
         (retry bigger); nothing is written out of bounds.
+      st_in / chain: segment chaining (rans_codec.py) — when ``chain``,
+        lane states start from ``st_in`` (NG, 2, 8, 128; hi, lo limbs)
+        instead of 2^32.  The encoder runs backward, so the caller feeds
+        the LAST segment first and threads each call's state into the next.
+      return_state: also return the final (NG, 2, 8, 128) states.
 
-    Returns ``(pre, expanded, cursor)``: (NG, 16, 128) u32 preamble words,
-    (NG, cap_hw // 128 + 16, 128) u32 halfword-expanded region buffer
-    (right-aligned: valid slots are [cursor, cap_hw); the +16 rows are
-    blend-window slack), (NG, 1) i32 cursors.
+    Returns ``(pre, expanded, cursor[, states])``: (NG, 16, 128) u32
+    preamble words, (NG, cap_hw // 128 + 16, 128) u32 halfword-expanded
+    region buffer (right-aligned: valid slots are [cursor, cap_hw); the
+    +16 rows are blend-window slack), (NG, 1) i32 cursors.
     """
     NG, rows, _ = symbols.shape
     if rows != block_len * 8:
@@ -237,22 +267,32 @@ def rans_encode_tiles(
     if block_len % tile:
         raise ValueError(f"block_len {block_len} % tile {tile} != 0")
     n_tiles = block_len // tile
+    if st_in is None:
+        if chain:
+            raise ValueError("chain=True requires st_in")
+        st_in = jnp.zeros((NG, 2, 8, 128), _U32)
     # +16 slack rows: the two 8-row blend windows of a write near the top
     # of the buffer may extend past cap_hw
     rowsE = cap_hw // 128 + 16
     kern = functools.partial(
         _rans_encode_kernel, a_count=a_count, tile_steps=tile,
-        n_tiles=n_tiles, cap_hw=cap_hw,
+        n_tiles=n_tiles, cap_hw=cap_hw, chain=chain,
     )
-    exp, pre, cur = pl.pallas_call(
+    from .rans_decode import aux_from_cum_flat
+
+    aux = aux_from_cum_flat(cum_vreg.reshape(-1), a_count)
+    exp, pre, cur, st_out = pl.pallas_call(
         kern,
         grid=(NG, n_tiles),
         out_shape=(
             jax.ShapeDtypeStruct((NG, rowsE, 128), _U32),
             jax.ShapeDtypeStruct((NG, 16, 128), _U32),
             jax.ShapeDtypeStruct((NG, 1), _I32),
+            jax.ShapeDtypeStruct((NG, 2, 8, 128), _U32),
         ),
         in_specs=[
+            pl.BlockSpec((8, 128), lambda g, t: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -260,6 +300,8 @@ def rans_encode_tiles(
                 lambda g, t, n_tiles=n_tiles: (g, n_tiles - 1 - t, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((1, 2, 8, 128), lambda g, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, rowsE, 128), lambda g, t: (g, 0, 0),
@@ -267,13 +309,17 @@ def rans_encode_tiles(
             pl.BlockSpec((1, 16, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (NG, 1) array
+            pl.BlockSpec((1, 2, 8, 128), lambda g, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 8, 128), _U32),
             pltpu.SMEM((1,), _I32),
         ],
         interpret=interpret,
-    )(cum_vreg, symbols)
+    )(cum_vreg, aux, symbols, st_in)
+    if return_state:
+        return pre, exp, cur, st_out
     return pre, exp, cur
 
 

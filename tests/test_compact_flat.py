@@ -61,3 +61,22 @@ def test_flat_rolls():
             flat_roll_dyn(jnp.asarray(x), jnp.int32(s))
         ).reshape(-1)
         np.testing.assert_array_equal(got, np.roll(np.arange(1024), s))
+
+
+def test_compact_flat_packed_matches_compact_flat():
+    """The single-word packed routing must agree with the 3-array one."""
+    import jax.numpy as jnp
+    from range_coder_rust_tpu.kernels.compact_flat import (
+        compact_flat, compact_flat_packed)
+
+    rng = np.random.default_rng(17)
+    for density in (0.0, 0.1, 0.5, 0.9, 1.0):
+        v = jnp.asarray(rng.integers(0, 1 << 16, (8, 128)), jnp.uint32)
+        act = jnp.asarray(rng.random((8, 128)) < density)
+        c0, r0, t0 = compact_flat(v, act)
+        c1, r1, t1 = compact_flat_packed(v, act)
+        n = int(t0)
+        assert int(t1) == n
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+        np.testing.assert_array_equal(
+            np.asarray(c0).reshape(-1)[:n], np.asarray(c1).reshape(-1)[:n])

@@ -47,3 +47,44 @@ def test_rans16_requires_k16():
         api.CodecConfig(profile="rans16", k=12)
     with pytest.raises(ConfigError):
         api.CodecConfig(profile="nope")
+
+
+def test_rans16_chained_segments_roundtrip_matches_spec_size():
+    """Segment chaining (L > seg) round-trips and its stream content is
+    identical to a single-call encode of the same lanes (the chain only
+    re-partitions the region section; total region bytes must match)."""
+    from range_coder_rust_tpu import rans, rans_codec
+    from range_coder_rust_tpu.models.table import table_from_data_pow2
+
+    L, seg = 128, 64
+    data = _zipf(1024 * L, seed=9).reshape(1024, L)
+    t = table_from_data_pow2(data, 256, 16)
+
+    payloads = rans_codec.encode_groups(data, t, L, seg=seg)
+    assert len(payloads) == 1
+    pre, regions = rans_codec._parse_payload(payloads[0], L, seg)
+    assert len(regions) == 2
+
+    # oracle: the NumPy spec over the full lanes in one pass
+    states, sregions, counts = rans.encode_lanes(data, t.c, t.cum)
+    assert pre == states.astype("<u8").tobytes()
+    spec_regions = b"".join(
+        r.astype("<u2").tobytes() for r in sregions)
+    assert b"".join(regions) == spec_regions
+    # segment boundary: region 0 holds exactly the halfwords of steps < seg
+    assert len(regions[0]) == 2 * int(counts[:seg].sum())
+
+    rows = rans_codec.decode_groups(payloads, t.c, L, seg=seg)
+    np.testing.assert_array_equal(rows, data)
+
+
+def test_rans16_shrink_lane_len_small_inputs():
+    """Tiny inputs must not be padded to the full requested lane length."""
+    from range_coder_rust_tpu import rans_codec
+
+    data = _zipf(5000, seed=11)
+    cfg = api.CodecConfig(profile="rans16", block_len=4096)
+    blob = api.encode(data, config=cfg)
+    cont = fmt.unpack(blob)
+    assert cont.block_len <= 64  # shrunk: 5000 symbols need 5-step lanes
+    np.testing.assert_array_equal(api.decode(blob), data)
