@@ -178,20 +178,27 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     cap_hw = rans_codec._cap_hw_for(seg, ent, 0)
     sm = jax.jit(symbols_to_step_major)
 
-    def chain_enc(syms):
+    # one jitted program for ALL segment slices+transposes — per-offset
+    # eager slicing would trigger NS separate (slow, remote) XLA compiles
+    split_sm = jax.jit(lambda s: [
+        symbols_to_step_major(s[:, i * seg : (i + 1) * seg])
+        for i in range(NS)])
+
+    def chain_enc(sym_t_segs):
         """The device encode chain (segment emissions stay on device)."""
         state, outs = None, []
         for s in range(NS - 1, -1, -1):
             pre, exp, cur, state = rans_encode_tiles(
-                sm(syms[:, s * seg : (s + 1) * seg]), cum_vreg,
+                sym_t_segs[s], cum_vreg,
                 block_len=seg, a_count=256, cap_hw=cap_hw,
                 st_in=state, chain=state is not None, return_state=True)
             outs.append((pack_expanded(exp), cur))
         return pre, outs
 
     syms = jax.device_put(jnp.asarray(rows), dev)
+    sym_t_segs = jax.block_until_ready(split_sm(syms))
     t0 = time.time()
-    pre, outs = chain_enc(syms)
+    pre, outs = chain_enc(sym_t_segs)
     jax.block_until_ready((pre, outs))
     for _, cur in outs:
         assert int(np.asarray(cur).min()) >= 0, "rans16 capacity overflow"
@@ -230,7 +237,7 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     assert np.array_equal(got, rows), "round trip failed"
 
     block = jax.block_until_ready
-    enc_t = timed_best(lambda: chain_enc(syms), block, reps)
+    enc_t = timed_best(lambda: chain_enc(split_sm(syms)), block, reps)
     dec_t = timed_best(chain_dec, block, reps)
     # scale device times from the fitted portion to the full corpus
     scale = n / nfit

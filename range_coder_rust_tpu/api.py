@@ -44,6 +44,11 @@ class CodecConfig:
     #: semantics per block); "rans16" = interleaved word rANS (the
     #: TPU-native fast profile, rans.py; requires k == 16)
     profile: str = "planar"
+    #: use the raw symbol histogram as the table (total_freq = corpus
+    #: count, any u32) instead of pow2 normalization — the reference
+    #: FreqTable's exact semantics (examples/sample_impl.rs:58-69), coded
+    #: with true u64/u32 division on device (blocks.encode_blocks_div)
+    raw_total: bool = False
 
     def __post_init__(self):
         if not 1 <= self.k <= 16:
@@ -54,6 +59,8 @@ class CodecConfig:
             raise ConfigError(f"unknown profile {self.profile!r}")
         if self.profile == "rans16" and self.k != 16:
             raise ConfigError("rans16 profile requires k == 16")
+        if self.raw_total and self.profile != "planar":
+            raise ConfigError("raw_total requires the planar profile")
 
 
 def _as_symbols(data, alphabet: Optional[int]) -> tuple[np.ndarray, int]:
@@ -106,6 +113,9 @@ def encode(
     n = int(symbols.size)
     L = config.block_len
     b = max(1, math.ceil(n / L))
+
+    if config.raw_total:
+        return _encode_raw(symbols, a, config)
 
     if table is None:
         counts = np.bincount(symbols, minlength=a).astype(np.uint64)
@@ -162,6 +172,55 @@ def encode(
     )
 
 
+def _encode_raw(symbols: np.ndarray, a: int, config: CodecConfig) -> bytes:
+    """Planar encode with the raw-histogram table (arbitrary u32 total) —
+    the reference FreqTable path (examples/sample_impl.rs:58-69), device-
+    coded via true division (blocks.encode_blocks_div)."""
+    from .blocks import encode_blocks_div
+
+    n = int(symbols.size)
+    L = config.block_len
+    b = max(1, math.ceil(n / L))
+    counts = np.bincount(symbols, minlength=a).astype(np.uint64)
+    if counts.sum() == 0:
+        counts[0] = 1
+    if counts.sum() >= 1 << 32:
+        raise ConfigError("raw_total: corpus count exceeds u32 total_freq")
+    c = counts.astype(np.uint32)
+    cum = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint32)
+    total = int(counts.sum())
+
+    pad_symbol = int(np.argmax(c))
+    padded = np.full(b * L, pad_symbol, np.int32)
+    padded[:n] = symbols
+    rows = padded.reshape(b, L)
+
+    # worst case ~5 bytes/symbol at 32-bit totals (+renorm waste) + flush
+    capacity = -(-(6 * L + 8) // 4) * 4
+    rows_per_chunk = max(1, config.chunk_symbols // L)
+    c_dev, cum_dev = jnp.asarray(c), jnp.asarray(cum)
+    payloads = []
+    for start in range(0, b, rows_per_chunk):
+        chunk = rows[start : start + rows_per_chunk]
+        code, lengths = encode_blocks_div(
+            jnp.asarray(chunk), c_dev, cum_dev, total, capacity=capacity)
+        code_np, lengths_np = np.asarray(code), np.asarray(lengths)
+        assert int(lengths_np.max()) <= capacity, "raw-total capacity bound"
+        for i in range(chunk.shape[0]):
+            payloads.append(code_np[i, : lengths_np[i]].tobytes())
+
+    return fmt.pack(
+        k=0,
+        alphabet=a,
+        block_len=L,
+        n_symbols=n,
+        payloads=payloads,
+        tables_c=c,
+        per_block_tables=False,
+        with_checksums=config.with_checksums,
+    )
+
+
 def decode(blob: bytes, *, verify_checksums: bool = True) -> np.ndarray:
     """Decompress a container back to the symbol array (int32).
 
@@ -176,6 +235,8 @@ def decode(blob: bytes, *, verify_checksums: bool = True) -> np.ndarray:
         return rans_codec.decode(cont)
     if cont.per_block_tables:
         raise NotImplementedError("per-block adaptive containers: see adaptive.py")
+    if cont.k == 0:  # raw-total container (FLAG_RAW_TOTAL)
+        return _decode_raw(cont)
     b = cont.n_blocks
     L = cont.block_len
     n = cont.n_symbols
@@ -197,6 +258,29 @@ def decode(blob: bytes, *, verify_checksums: bool = True) -> np.ndarray:
         dec = decode_blocks(
             jnp.asarray(code), c_dev, cum_dev, k=cont.k, block_len=L
         )
+        out[start * L : stop * L] = np.asarray(dec).reshape(-1)
+    return out[:n]
+
+
+def _decode_raw(cont: fmt.Container) -> np.ndarray:
+    """Decode a raw-total (arbitrary u32 total_freq) planar container."""
+    from .blocks import decode_blocks_div
+
+    b, L, n = cont.n_blocks, cont.block_len, cont.n_symbols
+    cum = np.concatenate([[0], np.cumsum(cont.tables_c)]).astype(np.uint32)
+    total = int(cont.tables_c.sum())
+    c_dev, cum_dev = jnp.asarray(cont.tables_c), jnp.asarray(cum)
+    cap = -(-max(int(cont.lengths.max()), FLUSH_BYTES) // 1024) * 1024
+    rows_per_chunk = max(1, _CHUNK_SYMBOLS // L)
+    out = np.empty(b * L, np.int32)
+    for start in range(0, b, rows_per_chunk):
+        stop = min(start + rows_per_chunk, b)
+        code = np.zeros((stop - start, cap), np.uint8)
+        for i in range(start, stop):
+            p = cont.payloads[i]
+            code[i - start, : len(p)] = np.frombuffer(p, np.uint8)
+        dec = decode_blocks_div(
+            jnp.asarray(code), c_dev, cum_dev, total, block_len=L)
         out[start * L : stop * L] = np.asarray(dec).reshape(-1)
     return out[:n]
 

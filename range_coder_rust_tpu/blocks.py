@@ -37,8 +37,10 @@ from .ops import lookup, u64
 from .ops.transition import (
     EMIT_MAX,
     decode_find_rfreq,
+    decode_find_rfreq_div,
     flush_state,
     init_state,
+    param_update_div,
     param_update_pow2,
 )
 
@@ -210,6 +212,101 @@ def encode_blocks(
     ehi, elo, en, pos, lengths = encode_scan(symbols, c, cum, k=k)
     code = compact_emissions(ehi, elo, en, pos, capacity=capacity)
     return code, lengths
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _wide_lookup(c: jax.Array, cum: jax.Array, symbols: jax.Array):
+    """(c[s], cum[s]) for arbitrary u32 tables — two select-accumulate
+    chains (values don't fit :func:`lookup.pack_table`'s 16-bit packing)."""
+    a_count = c.shape[0]
+    zc = jnp.zeros(symbols.shape, _U32)
+    zu = jnp.zeros(symbols.shape, _U32)
+    s = symbols.astype(jnp.int32)
+    for a in range(a_count):
+        m = s == a
+        zc = zc | jnp.where(m, c[a], _U32(0))
+        zu = zu | jnp.where(m, cum[a], _U32(0))
+    return zc, zu
+
+
+@jax.jit
+def encode_scan_div(
+    symbols: jax.Array, c: jax.Array, cum: jax.Array, total: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Arbitrary-total variant of :func:`encode_scan` — the reference
+    contract allows ANY u32 ``total_freq`` (src/pmodel.rs:6-10); this path
+    keeps the true u64/u32 division ``rpt = range / total``
+    (src/range_coder.rs:38-40) via the digit-recurrence divide
+    (ops/u64.divmod_u32) instead of the pow2 shift.  Byte-identical to the
+    scalar golden coder for un-normalized tables."""
+    B, L = symbols.shape
+    cs, cums = _wide_lookup(c, cum[:-1], symbols)
+    total = jnp.asarray(total, _U32)
+
+    def step(st, x):
+        cc, cu = x
+        st, emit, n = param_update_div(st, cc, cu, total)
+        return st, (emit.hi, emit.lo, n)
+
+    st, (ehi, elo, en) = jax.lax.scan(
+        step, init_state((B,)), (cs.T, cums.T)
+    )
+    femit, fn = flush_state(st)
+    ehi = jnp.concatenate([ehi.T, femit.hi[:, None]], axis=1)
+    elo = jnp.concatenate([elo.T, femit.lo[:, None]], axis=1)
+    en = jnp.concatenate([en.T, fn[:, None]], axis=1)
+    pos = jnp.cumsum(en, axis=1) - en
+    lengths = pos[:, -1] + en[:, -1]
+    return ehi, elo, en, pos, lengths
+
+
+def encode_blocks_div(
+    symbols: jax.Array,
+    c: jax.Array,
+    cum: jax.Array,
+    total,
+    *,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`encode_blocks` for arbitrary (non-pow2) u32 totals."""
+    ehi, elo, en, pos, lengths = encode_scan_div(symbols, c, cum, total)
+    code = compact_emissions(ehi, elo, en, pos, capacity=capacity)
+    return code, lengths
+
+
+@functools.partial(jax.jit, static_argnames="block_len")
+def decode_blocks_div(
+    code: jax.Array,
+    c: jax.Array,
+    cum: jax.Array,
+    total,
+    *,
+    block_len: int,
+) -> jax.Array:
+    """:func:`decode_blocks` for arbitrary (non-pow2) u32 totals.
+
+    ``rfreq = (data - lower) / (range / total)`` with both true divides
+    (reference examples/sample_impl.rs:29-30), then the same sweep search.
+    """
+    B, C = code.shape
+    if C % 4:
+        raise ValueError(f"capacity {C} must be a multiple of 4")
+    code32 = bytes_to_words_be(code)
+    total = jnp.asarray(total, _U32)
+
+    def step(carry, _):
+        st, cursor = carry
+        whi, _ = lookup.window_extract(code32, cursor - 8)
+        rfreq = decode_find_rfreq_div(st, whi, total)
+        idx, cc, cu = lookup.sweep_find(c, cum, rfreq)
+        st, _, n = param_update_div(st, cc, cu, total)
+        return (st, cursor + n), idx
+
+    cursor0 = jnp.full((B,), 8, jnp.int32)
+    (_, _), syms = jax.lax.scan(
+        step, (init_state((B,)), cursor0), None, length=block_len
+    )
+    return syms.T
 
 
 def bytes_to_words_be(code: jax.Array) -> jax.Array:

@@ -56,6 +56,9 @@ VERSION = 1
 FLAG_PER_BLOCK_TABLES = 1 << 0
 FLAG_CRC32 = 1 << 1
 FLAG_RANS16 = 1 << 2
+#: raw (un-normalized) u32 table: total_freq = sum(c), any u32 value —
+#: the reference's PModel contract (src/pmodel.rs:6-10); k is stored as 0
+FLAG_RAW_TOTAL = 1 << 3
 
 _HEADER = struct.Struct("<4sBBBBIIQI")  # through block count B
 HEADER_BYTES = _HEADER.size
@@ -83,8 +86,9 @@ class Container:
 
 
 def _table_dtype(k: int) -> np.dtype:
-    # c values sum to 2**k; a single value can equal 2**16 when k == 16
-    return np.dtype("<u2") if k < 16 else np.dtype("<u4")
+    # c values sum to 2**k; a single value can equal 2**16 when k == 16.
+    # k == 0 = raw mode: arbitrary u32 counts.
+    return np.dtype("<u2") if 0 < k < 16 else np.dtype("<u4")
 
 
 def pack(
@@ -107,6 +111,11 @@ def pack(
     flags = (FLAG_PER_BLOCK_TABLES if per_block_tables else 0) | (
         FLAG_CRC32 if with_checksums else 0
     )
+    raw_total = k == 0
+    if raw_total:
+        if profile != "planar" or per_block_tables:
+            raise ValueError("raw-total tables: shared planar mode only")
+        flags |= FLAG_RAW_TOTAL
     glog = 0
     if profile == "rans16":
         if k != 16:
@@ -151,7 +160,11 @@ def unpack(blob: bytes, *, verify_checksums: bool = True) -> Container:
         raise InvalidHeader(f"bad magic {magic!r}")
     if version != VERSION:
         raise InvalidHeader(f"unsupported version {version}")
-    if not 1 <= k <= 16:
+    raw_total = bool(flags & FLAG_RAW_TOTAL)
+    if raw_total:
+        if k != 0:
+            raise InvalidHeader(f"raw-total container with k={k}")
+    elif not 1 <= k <= 16:
         raise InvalidHeader(f"k={k} out of range [1, 16]")
     if alphabet < 1 or block_len < 1 or b < 1:
         raise InvalidHeader(
@@ -160,6 +173,8 @@ def unpack(blob: bytes, *, verify_checksums: bool = True) -> Container:
     per_block = bool(flags & FLAG_PER_BLOCK_TABLES)
     has_crc = bool(flags & FLAG_CRC32)
     is_rans = bool(flags & FLAG_RANS16)
+    if raw_total and (per_block or is_rans):
+        raise InvalidHeader("raw-total container: shared planar mode only")
     group_lanes = 0
     if is_rans:
         if k != 16:
@@ -198,7 +213,10 @@ def unpack(blob: bytes, *, verify_checksums: bool = True) -> Container:
     tables = tables.reshape(b, alphabet) if per_block else tables.reshape(alphabet)
     # validate table sums
     sums = tables.sum(axis=-1, dtype=np.int64)
-    if not np.all(sums == 1 << k):
+    if raw_total:
+        if not np.all((sums >= 1) & (sums < 1 << 32)):
+            raise InvalidHeader(f"raw table total {np.unique(sums)} not in u32")
+    elif not np.all(sums == 1 << k):
         raise InvalidHeader(f"table sums {np.unique(sums)} != 2**{k}")
 
     checksums = None

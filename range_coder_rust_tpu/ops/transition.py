@@ -173,10 +173,28 @@ def decode_find_rfreq(
 def decode_find_rfreq_div(
     state: CoderState, window: U64, total: jax.Array
 ) -> jax.Array:
-    """Arbitrary-total variant of :func:`decode_find_rfreq` (uint32 total)."""
+    """Arbitrary-total variant of :func:`decode_find_rfreq` (uint32 total).
+
+    The quotient ``rfreq < total`` can exceed div_small_q's 2^24 exactness
+    bound when ``total`` is large, so big totals take a two-stage divide
+    (16-bit quotient halves).  ``total >= 2^24`` implies
+    ``rpt = range/total < 2^40``, so ``rpt << 16`` cannot overflow u64 —
+    the two cases exactly cover each other.
+    """
     rpt, _ = u64.divmod_u32(state.rng, total)
     dl = u64.sub(window, state.low)
-    rfreq = u64.div_small_q(dl, rpt)
+    # small-total path (quotient < 2^24)
+    q_small = u64.div_small_q(dl, rpt)
+    # big-total path: q1 = dl // (rpt << 16) < 2^16, then the remainder
+    # over rpt gives the low 16 bits
+    big = total >= _U32(1 << 24)
+    rpt16 = u64.shl(rpt, 16)
+    safe = u64.select(big, rpt16, u64.from_int(1 << 40, rpt.hi.shape))
+    q1 = u64.div_small_q(dl, safe)
+    rem1 = u64.sub(dl, u64.mul_u64_u32(safe, q1))
+    q2 = u64.div_small_q(rem1, rpt)
+    q_big = (q1 << _U32(16)) + q2
+    rfreq = jnp.where(big, q_big, q_small)
     return jnp.minimum(rfreq, total - 1)
 
 
