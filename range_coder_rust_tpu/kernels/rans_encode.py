@@ -78,6 +78,10 @@ def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, st_in_ref, exp_ref,
     SMEM-out (1, 1) i32 final cursor; st_out_ref (1, 2, 8, 128) u32 final
     state limbs (feed the next — earlier-t — segment's call); scratch:
     st_ref (2, 8, 128) u32 state limbs, cur_s_ref SMEM (1,) i32 cursor."""
+    # tiles arrive already time-reversed (rans_encode_tiles flips them on
+    # device), so the grid's tau walks the buffer FORWARD — the standard
+    # streaming pattern; a reversed input index map triggered
+    # nondeterministic pipelining hangs on v5e at larger tile buffers
     tau = pl.program_id(1)
     g_idx = pl.program_id(0)
 
@@ -271,6 +275,12 @@ def rans_encode_tiles(
         if chain:
             raise ValueError("chain=True requires st_in")
         st_in = jnp.zeros((NG, 2, 8, 128), _U32)
+    # reverse the step-tiles on device so the kernel's input index map is
+    # the plain forward (g, t) — see the kernel-side comment
+    if n_tiles > 1:
+        symbols = jnp.flip(
+            symbols.reshape(NG, n_tiles, tile * 8, 128), axis=1
+        ).reshape(NG, rows, 128)
     # +16 slack rows: the two 8-row blend windows of a write near the top
     # of the buffer may extend past cap_hw
     rowsE = cap_hw // 128 + 16
@@ -297,7 +307,7 @@ def rans_encode_tiles(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, tile * 8, 128),
-                lambda g, t, n_tiles=n_tiles: (g, n_tiles - 1 - t, 0),
+                lambda g, t: (g, t, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, 2, 8, 128), lambda g, t: (g, 0, 0, 0),
