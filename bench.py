@@ -84,7 +84,11 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform} profile={profile}")
 
-    default_l = "65536" if profile == "rans16" else "512"
+    # rans16 default: single-segment lanes (L == SEG) — the multi-segment
+    # chain is built and interpret-verified, but chained EXECUTIONS have
+    # stalled on this axon runtime (docs/hardware_runs.md); the size-win
+    # L=65536 config stays opt-in via RC_BENCH_L until that is resolved
+    default_l = "2048" if profile == "rans16" else "512"
     L = int(os.environ.get("RC_BENCH_L", default_l))
     n = mb << 20
     data = make_corpus(n)
@@ -195,8 +199,13 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
             outs.append((pack_expanded(exp), cur))
         return pre, outs
 
+    t0 = time.time()
     syms = jax.device_put(jnp.asarray(rows), dev)
+    jax.block_until_ready(syms)
+    log(f"rans16 H2D: {time.time() - t0:.1f}s")
+    t0 = time.time()
     sym_t_segs = jax.block_until_ready(split_sm(syms))
+    log(f"rans16 split: {time.time() - t0:.1f}s")
     t0 = time.time()
     pre, outs = chain_enc(sym_t_segs)
     jax.block_until_ready((pre, outs))
