@@ -84,10 +84,12 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform} profile={profile}")
 
-    # rans16 default: single-segment lanes (L == SEG) — the multi-segment
-    # chain is built and interpret-verified, but chained EXECUTIONS have
-    # stalled on this axon runtime (docs/hardware_runs.md); the size-win
-    # L=65536 config stays opt-in via RC_BENCH_L until that is resolved
+    # rans16 default: the geometry repeatedly proven stable on this axon
+    # runtime (16 groups x 1024 lanes x 512 steps per invocation,
+    # docs/hardware_runs.md).  Larger single invocations and multi-segment
+    # chains are built and interpret-verified but have stalled in
+    # EXECUTION here; the size-win L=65536 chain stays opt-in via
+    # RC_BENCH_L until that is root-caused.
     default_l = "2048" if profile == "rans16" else "512"
     L = int(os.environ.get("RC_BENCH_L", default_l))
     n = mb << 20
@@ -176,11 +178,14 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     nfit = ng * G * L
     rows = data[:nfit].reshape(ng * G, L)
     NS, seg = rans_codec._segments(L, rans_codec.SEG)
+    # groups per kernel invocation: keep each call at the proven ~8 MB
+    # working-set shape; larger aggregates have stalled on this runtime
+    gpc = max(1, (8 << 20) // (G * L))
+    n_batches = -(-ng // gpc)
 
     cum_vreg = jax.device_put(jnp.asarray(prep_cum_vreg(t.cum)), dev)
     ent = max(rans_codec._entropy_bits(t), 0.05)
     cap_hw = rans_codec._cap_hw_for(seg, ent, 0)
-    sm = jax.jit(symbols_to_step_major)
 
     # one jitted program for ALL segment slices+transposes — per-offset
     # eager slicing would trigger NS separate (slow, remote) XLA compiles
@@ -188,29 +193,35 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
         symbols_to_step_major(s[:, i * seg : (i + 1) * seg])
         for i in range(NS)])
 
-    def chain_enc(sym_t_segs):
+    def chain_enc(batch_segs):
         """The device encode chain (segment emissions stay on device)."""
         state, outs = None, []
         for s in range(NS - 1, -1, -1):
             pre, exp, cur, state = rans_encode_tiles(
-                sym_t_segs[s], cum_vreg,
+                batch_segs[s], cum_vreg,
                 block_len=seg, a_count=256, cap_hw=cap_hw,
                 st_in=state, chain=state is not None, return_state=True)
             outs.append((pack_expanded(exp), cur))
         return pre, outs
 
+    def enc_all(batches):
+        return [chain_enc(b) for b in batches]
+
     t0 = time.time()
-    syms = jax.device_put(jnp.asarray(rows), dev)
-    jax.block_until_ready(syms)
-    log(f"rans16 H2D: {time.time() - t0:.1f}s")
+    dev_syms = []
+    for i in range(n_batches):
+        chunk = rows[i * gpc * G : (i + 1) * gpc * G]
+        dev_syms.append(jax.device_put(jnp.asarray(chunk), dev))
+    jax.block_until_ready(dev_syms)
+    batches = [jax.block_until_ready(split_sm(s)) for s in dev_syms]
+    log(f"rans16 H2D+split ({n_batches} batches of <= {gpc} groups): "
+        f"{time.time() - t0:.1f}s")
     t0 = time.time()
-    sym_t_segs = jax.block_until_ready(split_sm(syms))
-    log(f"rans16 split: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    pre, outs = chain_enc(sym_t_segs)
-    jax.block_until_ready((pre, outs))
-    for _, cur in outs:
-        assert int(np.asarray(cur).min()) >= 0, "rans16 capacity overflow"
+    res = enc_all(batches)
+    jax.block_until_ready(res)
+    for pre, outs in res:
+        for _, cur in outs:
+            assert int(np.asarray(cur).min()) >= 0, "rans16 capacity overflow"
     log(f"rans16 encode compile+first: {time.time() - t0:.1f}s "
         f"(ng={ng}, NS={NS}, cap_hw={cap_hw})")
 
@@ -220,15 +231,19 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     cont = fmt.unpack(blob)
     parsed = [rans_codec._parse_payload(p, L, rans_codec.SEG)
               for p in cont.payloads]
-    seg_words = []
-    for s in range(NS):
-        bufs = [(p + r[s]) if s == 0 else r[s] for p, r in parsed]
-        wrows = max((len(b) + 511) // 512 for b in bufs) + 10
-        wrows = -(-wrows // 8) * 8
-        seg_words.append(jax.device_put(jnp.asarray(np.stack(
-            [stream_bytes_to_words(b, wrows) for b in bufs])), dev))
+    word_batches = []  # [batch][segment] -> (<=gpc, wrows, 128) words
+    for i in range(n_batches):
+        part = parsed[i * gpc : (i + 1) * gpc]
+        seg_words = []
+        for s in range(NS):
+            bufs = [(p + r[s]) if s == 0 else r[s] for p, r in part]
+            wrows = max((len(b) + 511) // 512 for b in bufs) + 10
+            wrows = -(-wrows // 8) * 8
+            seg_words.append(jax.device_put(jnp.asarray(np.stack(
+                [stream_bytes_to_words(b, wrows) for b in bufs])), dev))
+        word_batches.append(seg_words)
 
-    def chain_dec():
+    def chain_dec(seg_words):
         state, parts = None, []
         for s in range(NS):
             dec, state = rans_decode_words(
@@ -237,17 +252,23 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
             parts.append(dec)
         return parts
 
+    def dec_all():
+        return [chain_dec(b) for b in word_batches]
+
     t0 = time.time()
-    parts = chain_dec()
-    jax.block_until_ready(parts)
+    all_parts = dec_all()
+    jax.block_until_ready(all_parts)
     log(f"rans16 decode compile+first: {time.time() - t0:.1f}s")
-    got = np.concatenate(
-        [np.asarray(p).reshape(ng * G, seg) for p in parts], axis=1)
+    got = np.concatenate([
+        np.concatenate([np.asarray(p).reshape(-1, seg) for p in parts],
+                       axis=1)
+        for parts in all_parts], axis=0)
     assert np.array_equal(got, rows), "round trip failed"
 
     block = jax.block_until_ready
-    enc_t = timed_best(lambda: chain_enc(split_sm(syms)), block, reps)
-    dec_t = timed_best(chain_dec, block, reps)
+    enc_t = timed_best(
+        lambda: enc_all([split_sm(s) for s in dev_syms]), block, reps)
+    dec_t = timed_best(dec_all, block, reps)
     # scale device times from the fitted portion to the full corpus
     scale = n / nfit
     return enc_t * scale, dec_t * scale, cont_bits
