@@ -251,15 +251,31 @@ def decode(blob: bytes, *, verify_checksums: bool = True) -> np.ndarray:
     out = np.empty(b * L, np.int32)
     for start in range(0, b, rows_per_chunk):
         stop = min(start + rows_per_chunk, b)
-        code = np.zeros((stop - start, cap), np.uint8)
-        for i in range(start, stop):
-            p = cont.payloads[i]
-            code[i - start, : len(p)] = np.frombuffer(p, np.uint8)
+        code = _payload_matrix(cont, start, stop, cap)
         dec = decode_blocks(
             jnp.asarray(code), c_dev, cum_dev, k=cont.k, block_len=L
         )
         out[start * L : stop * L] = np.asarray(dec).reshape(-1)
     return out[:n]
+
+
+def _payload_matrix(
+    cont: fmt.Container, start: int, stop: int, cap: int
+) -> np.ndarray:
+    """Blocks [start, stop) as a zero-padded (rows, cap) uint8 matrix,
+    assembled with vectorized numpy (one mask scatter) instead of a
+    per-block Python loop — at GB scale the loop dominates end-to-end
+    decode (round-1 verdict)."""
+    lens = cont.lengths[start:stop]
+    flat = np.frombuffer(
+        b"".join(cont.payloads[start:stop]), np.uint8)
+    rows = stop - start
+    col = np.arange(cap, dtype=np.int64)
+    mask = col[None, :] < lens[:, None]
+    src = (np.concatenate([[0], np.cumsum(lens)])[:-1, None] + col[None, :])
+    code = np.zeros((rows, cap), np.uint8)
+    code[mask] = flat[src[mask]]
+    return code
 
 
 def _decode_raw(cont: fmt.Container) -> np.ndarray:
