@@ -216,17 +216,16 @@ def encode_blocks(
 
 @functools.partial(jax.jit, static_argnames=())
 def _wide_lookup(c: jax.Array, cum: jax.Array, symbols: jax.Array):
-    """(c[s], cum[s]) for arbitrary u32 tables — two select-accumulate
-    chains (values don't fit :func:`lookup.pack_table`'s 16-bit packing)."""
-    a_count = c.shape[0]
-    zc = jnp.zeros(symbols.shape, _U32)
-    zu = jnp.zeros(symbols.shape, _U32)
+    """(c[s], cum[s]) for arbitrary u32 tables (values don't fit
+    :func:`lookup.pack_table`'s 16-bit packing).
+
+    One batched XLA gather over the whole (B, L) symbol block — amortized
+    once per encode call, not per scan step, so the gather's fixed cost is
+    immaterial; unlike a per-symbol select chain it keeps the traced
+    program size independent of the alphabet (a 2^16-token alphabet
+    previously emitted ~2A ops)."""
     s = symbols.astype(jnp.int32)
-    for a in range(a_count):
-        m = s == a
-        zc = zc | jnp.where(m, c[a], _U32(0))
-        zu = zu | jnp.where(m, cum[a], _U32(0))
-    return zc, zu
+    return jnp.take(c, s, axis=0), jnp.take(cum, s, axis=0)
 
 
 @jax.jit

@@ -134,6 +134,10 @@ def _rans_decode_kernel(probe_ref, cum_ref, aux_ref, stream_ref, st_in_ref,
             hi = jnp.where(go, hi, mid)
         idx = lo
         if packed:
+            # zero-frequency repair: slot == 0 with leading absent symbols
+            # misroutes to 0 under the saturated probe (aux_from_cum_flat);
+            # the true symbol index is always >= j0 = probe_ref[3]
+            idx = jnp.maximum(idx, probe_ref[3].astype(_I32))
             w2 = _lookup_rows(w2_rows, idx)
             cum_s = w2 & _U32(0xFFFF)
             cc = (w2 >> _U32(16)) + _U32(1)
@@ -218,11 +222,14 @@ def rans_decode_words(
         tile_steps=tile,
         primed=primed,
     )
-    # cum values at the two data-independent early probe positions
+    # cum values at the two data-independent early probe positions, plus
+    # j0 = largest s with cum[s] == 0 (zero-frequency repair, see
+    # aux_from_cum_flat)
     m1 = a_count >> 1
     m2a, m2b = m1 >> 1, m1 + ((a_count - m1) >> 1)
     flat = cum_vreg.reshape(-1)
-    probes = jnp.stack([flat[m1], flat[m2a], flat[m2b], flat[0]])
+    j0 = jnp.sum((flat[1:a_count] == 0).astype(_U32))
+    probes = jnp.stack([flat[m1], flat[m2a], flat[m2b], j0])
     aux = aux_from_cum_flat(flat, a_count)
     out, st_out = pl.pallas_call(
         kern,
@@ -268,14 +275,26 @@ def aux_from_cum_flat(flat: jax.Array, a_count: int) -> jax.Array:
     (traced, inside jit — costs a handful of 1 KB vector ops once per
     call).  Row 0: halfword pairs of ``cum[j+1]-1`` (j ascending) for the
     1-gather-per-probe binary search; rows 1-2: per-symbol words
-    ``cum[s] | (c[s]-1) << 16``.  Only meaningful for a_count <= 256."""
+    ``cum[s] | (c[s]-1) << 16``.  Only meaningful for a_count <= 256.
+
+    Zero-frequency symbols: ``cum[j+1] == 0`` (leading absent symbols)
+    would underflow the packed ``cum[j+1]-1`` probe, so it saturates at 0.
+    The saturated probe answers ``slot >= 1`` instead of the correct
+    always-true, which only misroutes ``slot == 0`` — the kernel repairs
+    that one case with ``idx = max(idx, j0)`` where ``j0`` (probe_ref[3])
+    is the largest s with ``cum[s] == 0`` (correct because the true symbol
+    for any slot always has index >= j0).  The ``(c-1) << 16`` underflow
+    for interior zero-frequency symbols is masked to 16 bits so it can
+    never corrupt the paired halfword; those w2 entries are never read
+    (the search never returns a zero-width interior symbol)."""
     a = min(a_count, 256)
+    nxt = flat[1 : a + 1]
     c1 = jnp.zeros(256, _U32)
-    c1 = c1.at[:a].set(flat[1 : a + 1] - _U32(1))
+    c1 = c1.at[:a].set(jnp.where(nxt == 0, _U32(0), nxt - _U32(1)) & _U32(0xFFFF))
     srow = c1[0::2] | (c1[1::2] << _U32(16))  # (128,)
     w2 = jnp.zeros(256, _U32)
     w2 = w2.at[:a].set(
-        flat[:a] | ((flat[1 : a + 1] - flat[:a] - _U32(1)) << _U32(16))
+        flat[:a] | (((nxt - flat[:a] - _U32(1)) & _U32(0xFFFF)) << _U32(16))
     )
     return jnp.concatenate(
         [srow.reshape(1, 128), w2.reshape(2, 128),

@@ -175,19 +175,23 @@ def decode_find_rfreq_div(
 ) -> jax.Array:
     """Arbitrary-total variant of :func:`decode_find_rfreq` (uint32 total).
 
-    The quotient ``rfreq < total`` can exceed div_small_q's 2^24 exactness
-    bound when ``total`` is large, so big totals take a two-stage divide
-    (16-bit quotient halves).  ``total >= 2^24`` implies
-    ``rpt = range/total < 2^40``, so ``rpt << 16`` cannot overflow u64 —
-    the two cases exactly cover each other.
+    The quotient ``rfreq < total`` can exceed div_small_q's exactness bound
+    when ``total`` is large, so big totals take a two-stage divide (16-bit
+    quotient halves).  div_small_q clips its estimate at ``2^24 - 16`` and
+    corrects by at most a handful of steps, so the single-stage path is only
+    safe when every possible quotient (``<= total - 1``) stays below that —
+    hence the threshold ``total >= 2^24 - 16`` (not 2^24: totals in
+    [2^24-16, 2^24) have reachable quotients above the clip).  For such
+    totals ``rpt = range/total < 2^40 * (1 + 2^-20)``, so ``rpt << 16``
+    still cannot overflow u64 — the two cases exactly cover each other.
     """
     rpt, _ = u64.divmod_u32(state.rng, total)
     dl = u64.sub(window, state.low)
-    # small-total path (quotient < 2^24)
+    # small-total path (quotient < 2^24 - 16)
     q_small = u64.div_small_q(dl, rpt)
     # big-total path: q1 = dl // (rpt << 16) < 2^16, then the remainder
     # over rpt gives the low 16 bits
-    big = total >= _U32(1 << 24)
+    big = total >= _U32((1 << 24) - 16)
     rpt16 = u64.shl(rpt, 16)
     safe = u64.select(big, rpt16, u64.from_int(1 << 40, rpt.hi.shape))
     q1 = u64.div_small_q(dl, safe)

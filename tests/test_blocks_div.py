@@ -96,3 +96,41 @@ def test_api_raw_total_requires_planar():
 
     with pytest.raises(ConfigError):
         api.CodecConfig(profile="rans16", raw_total=True)
+
+
+def test_div_mode_boundary_total_2pow24():
+    """Totals just below 2^24: quotients can reach total-1, above
+    div_small_q's single-stage exactness clip — the two-stage divide must
+    take over at 2^24 - 16, not 2^24 (round-2 advisor finding).  The table
+    puts nearly all mass on the LAST symbol so decode's rfreq lands near
+    total-1 constantly."""
+    for total in [(1 << 24) - 1, (1 << 24) - 16, (1 << 24) - 17, 1 << 24]:
+        c = np.array([1, 2, total - 3], np.uint32)
+        cum = np.concatenate([[0], np.cumsum(c)]).astype(np.uint32)
+        rng = np.random.default_rng(total & 0xFFFF)
+        syms = rng.choice(3, size=(2, 64), p=c / c.sum()).astype(np.int32)
+        syms[0, :4] = [2, 2, 2, 2]  # force max-rfreq territory early
+        cap = 6 * 64 + 8
+        code, lengths = encode_blocks_div(
+            jnp.asarray(syms), jnp.asarray(c), jnp.asarray(cum), total,
+            capacity=cap)
+        code_np, ln = np.asarray(code), np.asarray(lengths)
+        for b in range(2):
+            ref = golden.encode(syms[b], c, cum[:-1], total)
+            assert code_np[b, : ln[b]].tobytes() == ref, f"total={total}"
+        dec = decode_blocks_div(
+            code, jnp.asarray(c), jnp.asarray(cum), total, block_len=64)
+        np.testing.assert_array_equal(np.asarray(dec), syms)
+
+
+def test_api_raw_total_wide_alphabet():
+    """raw_total with a large alphabet (token-id scale) must not blow up
+    the traced program (round-2 advisor: the per-symbol select chain was
+    O(alphabet) ops; now one batched gather)."""
+    from range_coder_rust_tpu import api
+
+    rng = np.random.default_rng(41)
+    data = rng.integers(0, 4096, 2000).astype(np.int32)
+    cfg = api.CodecConfig(block_len=256, raw_total=True)
+    blob = api.encode(data, alphabet=4096, config=cfg)
+    np.testing.assert_array_equal(api.decode(blob), data)

@@ -88,3 +88,25 @@ def test_rans16_shrink_lane_len_small_inputs():
     cont = fmt.unpack(blob)
     assert cont.block_len <= 64  # shrunk: 5000 symbols need 5-step lanes
     np.testing.assert_array_equal(api.decode(blob), data)
+
+
+def test_rans16_absent_leading_symbol():
+    """Tables with zero-frequency leading symbols (c[0] == 0) must decode
+    correctly — the packed-search probe ``cum[j+1]-1`` underflowed for
+    absent symbol 0 and silently decoded wrong symbols (round-2 advisor,
+    high severity)."""
+    rng = np.random.default_rng(11)
+    data = rng.integers(1, 8, 1024 * 64).astype(np.int32)  # symbol 0 absent
+    blob = api.encode(data, alphabet=8, config=CFG)
+    np.testing.assert_array_equal(api.decode(blob), data)
+
+
+def test_rans16_absent_leading_run_and_interior():
+    """Several leading absent symbols plus interior holes; the most
+    frequent present symbol sits at cum == 0 so slot == 0 occurs often."""
+    rng = np.random.default_rng(12)
+    support = np.array([3, 5, 9, 200])  # absent: 0,1,2,4,6,7,8,...
+    p = np.array([0.7, 0.2, 0.06, 0.04])
+    data = rng.choice(support, size=1024 * 64, p=p).astype(np.int32)
+    blob = api.encode(data, alphabet=256, config=CFG)
+    np.testing.assert_array_equal(api.decode(blob), data)
