@@ -10,21 +10,25 @@ Rust crate) timed on a sample of the same corpus on this host's CPU.
 ``vs_baseline`` is our GB/s divided by the scalar coder's GB/s.
 
 Profiles:
-  rans16 (default) — interleaved word-renormalized rANS, Pallas kernels
-    (rans.py, kernels/rans_*.py).  Device numbers time the jit-fused
-    transpose -> encode-kernel -> pack chain and the decode kernel on
-    device-resident data; container bits/sym uses the REAL container bytes
-    (api.encode), per the round-1 verdict.
+  rans16 (default) — interleaved word-renormalized rANS, tiled Pallas
+    kernels (rans.py, kernels/rans_*.py).  Device numbers time the full
+    device pipeline on device-resident data (step-major transform +
+    encode kernel + pack/compaction gather; pad gather + decode kernel +
+    narrow-dtype finalize); container bits/sym uses the REAL container
+    bytes (api.encode).  e2e numbers are bytes-in -> bytes-out through
+    api.encode/api.decode including host assembly and the axon-tunnel
+    transfers (~0.25 GB/s each way on this box — the tunnel, not the
+    chip, bounds e2e here; a locally-attached chip moves the same data
+    at PCIe/HBM rates).
   planar — the byte-exact block-parallel range coder (blocks.py).
 
 Corpus: deterministic Zipf-ish byte stream.  Round-trip equality and
 compressed-size-vs-scalar are asserted, not just timed.
 
 Env knobs: RC_BENCH_MB (corpus MB, default 64), RC_BENCH_REPS (default 3),
-RC_BENCH_L (lane/block length, default 4096 rans16 / 512 planar),
+RC_BENCH_L (lane/block length, default 65536 rans16 / 512 planar),
 RC_BENCH_PROFILE (rans16|planar), RC_BENCH_E2E_MB (end-to-end api slice,
-default 8 — host<->device transfers ride a network tunnel here, so the e2e
-number under-reports what a locally-attached chip would do).
+default = corpus size).
 """
 
 from __future__ import annotations
@@ -65,7 +69,7 @@ def main() -> None:
     mb = int(os.environ.get("RC_BENCH_MB", "64"))
     reps = int(os.environ.get("RC_BENCH_REPS", "3"))
     k = int(os.environ.get("RC_BENCH_K", "16"))
-    e2e_mb = int(os.environ.get("RC_BENCH_E2E_MB", "8"))
+    e2e_mb = int(os.environ.get("RC_BENCH_E2E_MB", str(mb)))
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
@@ -84,13 +88,7 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform} profile={profile}")
 
-    # rans16 default: the geometry repeatedly proven stable on this axon
-    # runtime (16 groups x 1024 lanes x 512 steps per invocation,
-    # docs/hardware_runs.md).  Larger single invocations and multi-segment
-    # chains are built and interpret-verified but have stalled in
-    # EXECUTION here; the size-win L=65536 chain stays opt-in via
-    # RC_BENCH_L until that is root-caused.
-    default_l = "2048" if profile == "rans16" else "512"
+    default_l = "65536" if profile == "rans16" else "512"
     L = int(os.environ.get("RC_BENCH_L", default_l))
     n = mb << 20
     data = make_corpus(n)
@@ -114,9 +112,11 @@ def main() -> None:
         f"on {sample.size >> 20} MB sample")
 
     if profile == "rans16":
-        enc_t, dec_t, cont_bits = bench_rans16(jax, jnp, dev, data, t, L, reps)
+        enc_t, dec_t, cont_bits, compiles = bench_rans16(
+            jax, jnp, dev, data, t, L, reps)
     else:
-        enc_t, dec_t, cont_bits = bench_planar(jax, jnp, dev, data, t, L, k, reps)
+        enc_t, dec_t, cont_bits, compiles = bench_planar(
+            jax, jnp, dev, data, t, L, k, reps)
 
     gbps = n / 1e9 / (enc_t + dec_t)
     log(f"device encode {n / 1e9 / enc_t:.3f} GB/s, decode "
@@ -139,7 +139,8 @@ def main() -> None:
     assert np.array_equal(rt, data[:e2e_n]), "api round trip failed"
     e2e_gbps = e2e_n / 1e9 / (e2e_enc_t + e2e_dec_t)
     log(f"end-to-end api ({e2e_n >> 20} MB, incl. tunnel transfers + host "
-        f"assembly): {e2e_gbps:.3f} GB/s")
+        f"assembly): encode {e2e_n / 1e9 / e2e_enc_t:.3f} GB/s, decode "
+        f"{e2e_n / 1e9 / e2e_dec_t:.3f} GB/s, combined {e2e_gbps:.3f} GB/s")
 
     print(json.dumps({
         "metric": "encode+decode GB/s/chip",
@@ -150,8 +151,12 @@ def main() -> None:
         "encode_gbps": round(n / 1e9 / enc_t, 4),
         "decode_gbps": round(n / 1e9 / dec_t, 4),
         "e2e_gbps": round(e2e_gbps, 4),
+        "e2e_encode_gbps": round(e2e_n / 1e9 / e2e_enc_t, 4),
+        "e2e_decode_gbps": round(e2e_n / 1e9 / e2e_dec_t, 4),
+        "e2e_mb": e2e_n >> 20,
         "corpus_mb": mb,
         "lane_len": L,
+        "compile_s": compiles,
         "bits_per_symbol_container": round(cont_bits, 4),
         "scalar_bits_per_symbol": round(ref_bits, 4),
         "size_vs_scalar": round(cont_bits / ref_bits, 4),
@@ -161,117 +166,134 @@ def main() -> None:
 
 
 def bench_rans16(jax, jnp, dev, data, t, L, reps):
-    """Device-resident chained encode + decode timing, rans16 profile."""
-    from range_coder_rust_tpu import rans_codec
+    """Device-resident pipeline timing, rans16 profile (tiled kernels)."""
     from range_coder_rust_tpu import format as fmt
+    from range_coder_rust_tpu import rans_codec
     from range_coder_rust_tpu.kernels.decode_pallas import prep_cum_vreg
-    from range_coder_rust_tpu.kernels.encode_pallas import symbols_to_step_major
-    from range_coder_rust_tpu.kernels.rans_decode import (
-        rans_decode_words, stream_bytes_to_words)
-    from range_coder_rust_tpu.kernels.rans_encode import (
-        pack_expanded, rans_encode_tiles)
 
     G = rans_codec.G
     n = data.size
-    ng = n // (G * L)
-    assert ng >= 1, f"corpus too small for one group at L={L}"
+    ng = max(1, n // (G * L))
     nfit = ng * G * L
-    rows = data[:nfit].reshape(ng * G, L)
-    NS, seg = rans_codec._segments(L, rans_codec.SEG)
-    # groups per kernel invocation: keep each call at the proven ~8 MB
-    # working-set shape; larger aggregates have stalled on this runtime
-    gpc = max(1, (8 << 20) // (G * L))
-    n_batches = -(-ng // gpc)
-
+    rows = data[:nfit].reshape(ng * G, L).astype(np.uint8)
     cum_vreg = jax.device_put(jnp.asarray(prep_cum_vreg(t.cum)), dev)
-    ent = max(rans_codec._entropy_bits(t), 0.05)
-    cap_hw = rans_codec._cap_hw_for(seg, ent, 0)
-
-    # one jitted program for ALL segment slices+transposes — per-offset
-    # eager slicing would trigger NS separate (slow, remote) XLA compiles
-    split_sm = jax.jit(lambda s: [
-        symbols_to_step_major(s[:, i * seg : (i + 1) * seg])
-        for i in range(NS)])
-
-    def chain_enc(batch_segs):
-        """The device encode chain (segment emissions stay on device)."""
-        state, outs = None, []
-        for s in range(NS - 1, -1, -1):
-            pre, exp, cur, state = rans_encode_tiles(
-                batch_segs[s], cum_vreg,
-                block_len=seg, a_count=256, cap_hw=cap_hw,
-                st_in=state, chain=state is not None, return_state=True)
-            outs.append((pack_expanded(exp), cur))
-        return pre, outs
-
-    def enc_all(batches):
-        return [chain_enc(b) for b in batches]
+    gpc = max(1, rans_codec._BATCH_SYMBOLS // (G * L))
+    n_batches = -(-ng // gpc)
+    tile, NT = rans_codec._tile_geometry(L)
 
     t0 = time.time()
-    dev_syms = []
+    dev_rows = []
     for i in range(n_batches):
         chunk = rows[i * gpc * G : (i + 1) * gpc * G]
-        dev_syms.append(jax.device_put(jnp.asarray(chunk), dev))
-    jax.block_until_ready(dev_syms)
-    batches = [jax.block_until_ready(split_sm(s)) for s in dev_syms]
-    log(f"rans16 H2D+split ({n_batches} batches of <= {gpc} groups): "
+        dev_rows.append(jax.device_put(jnp.asarray(chunk), dev))
+    jax.block_until_ready(dev_rows)
+    log(f"rans16 H2D ({n_batches} batches of <= {gpc} groups as u8): "
         f"{time.time() - t0:.1f}s")
+
+    def enc_step(dev_chunk):
+        pre, exp, sizes = rans_codec._encode_device(
+            dev_chunk, cum_vreg, block_len=L, a_count=256, interpret=False)
+        sizes_np = np.asarray(sizes)  # sync: the host needs sizes for the
+        # compaction row index (tiny D2H + ~n/64K-element numpy)
+        nb = dev_chunk.shape[0] // G
+        s_time = sizes_np[:, ::-1]
+        cap = tile * 1024
+        rows_p = cap // 256
+        start_row = (cap - s_time) >> 8
+        counts = (rows_p - start_row).reshape(-1)
+        base = ((np.arange(nb)[:, None] * NT + np.arange(NT)[None, ::-1])
+                * (rans_codec._rows_e(tile) // 2)).reshape(-1)
+        total = int(counts.sum())
+        csum = np.cumsum(counts) - counts
+        offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+        row_idx = (np.repeat(base + start_row.reshape(-1), counts)
+                   + offs).astype(np.int32)
+        rows_out = -(-max(total, 1) // rans_codec._ROWS_BUCKET) \
+            * rans_codec._ROWS_BUCKET
+        row_idx = np.pad(row_idx, (0, rows_out - total))
+        from range_coder_rust_tpu.kernels.rans_encode import pack_and_gather
+        words = pack_and_gather(exp, jnp.asarray(row_idx), rows_out=rows_out)
+        return pre, words, sizes_np
+
     t0 = time.time()
-    res = enc_all(batches)
-    jax.block_until_ready(res)
-    for pre, outs in res:
-        for _, cur in outs:
-            assert int(np.asarray(cur).min()) >= 0, "rans16 capacity overflow"
-    log(f"rans16 encode compile+first: {time.time() - t0:.1f}s "
-        f"(ng={ng}, NS={NS}, cap_hw={cap_hw})")
+    res = [enc_step(c) for c in dev_rows]
+    jax.block_until_ready([r[1] for r in res])
+    enc_compile = time.time() - t0
+    log(f"rans16 encode compile+first: {enc_compile:.1f}s "
+        f"(ng={ng}, NT={NT})")
 
     # real container via the product path (also the size measurement)
-    blob = rans_codec.encode(data[:nfit], alphabet=256, table=t, block_len=L)
+    blob = rans_codec.encode(
+        data[:nfit].astype(np.uint8), alphabet=256, table=t, block_len=L)
     cont_bits = 8 * len(blob) / nfit
     cont = fmt.unpack(blob)
-    parsed = [rans_codec._parse_payload(p, L, rans_codec.SEG)
-              for p in cont.payloads]
-    word_batches = []  # [batch][segment] -> (<=gpc, wrows, 128) words
-    for i in range(n_batches):
-        part = parsed[i * gpc : (i + 1) * gpc]
-        seg_words = []
-        for s in range(NS):
-            bufs = [(p + r[s]) if s == 0 else r[s] for p, r in part]
-            wrows = max((len(b) + 511) // 512 for b in bufs) + 10
-            wrows = -(-wrows // 8) * 8
-            seg_words.append(jax.device_put(jnp.asarray(np.stack(
-                [stream_bytes_to_words(b, wrows) for b in bufs])), dev))
-        word_batches.append(seg_words)
 
-    def chain_dec(seg_words):
-        state, parts = None, []
-        for s in range(NS):
-            dec, state = rans_decode_words(
-                seg_words[s], cum_vreg, block_len=seg, a_count=256,
-                st_in=state, primed=s == 0, return_state=True)
-            parts.append(dec)
-        return parts
-
-    def dec_all():
-        return [chain_dec(b) for b in word_batches]
-
+    # decode timing decodes the real container payloads (parse + upload
+    # excluded here — those are the e2e metric's job; this measures the
+    # device pipeline: pad gather + kernel + finalize)
     t0 = time.time()
-    all_parts = dec_all()
-    jax.block_until_ready(all_parts)
-    log(f"rans16 decode compile+first: {time.time() - t0:.1f}s")
-    got = np.concatenate([
-        np.concatenate([np.asarray(p).reshape(-1, seg) for p in parts],
-                       axis=1)
-        for parts in all_parts], axis=0)
-    assert np.array_equal(got, rows), "round trip failed"
+    got = rans_codec.decode_groups(cont.payloads, t.c, L)
+    dec_compile = time.time() - t0
+    log(f"rans16 decode compile+first (full decode_groups): {dec_compile:.1f}s")
+    assert np.array_equal(got, rows.astype(np.int32)), "round trip failed"
 
     block = jax.block_until_ready
     enc_t = timed_best(
-        lambda: enc_all([split_sm(s) for s in dev_syms]), block, reps)
-    dec_t = timed_best(dec_all, block, reps)
-    # scale device times from the fitted portion to the full corpus
+        lambda: [enc_step(c)[1] for c in dev_rows], block, reps)
+
+    # device-resident decode: prepare uploads once, time the device stages
+    parsed = [rans_codec._parse_payload(p, L) for p in cont.payloads]
+    dec_args = []
+    for start in range(0, ng, gpc):
+        stop = min(start + gpc, ng)
+        nb = stop - start
+        part = parsed[start:stop]
+        sizes = np.stack([s for s, _, _ in part])
+        region = b"".join(bytes(r) for _, _, r in part)
+        flat_sz = sizes.reshape(-1)
+        H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
+        a_row = (H >> 8).astype(np.int64)
+        b_row = (H + flat_sz + 255) >> 8
+        rpad = -(-(int((b_row - a_row).max(initial=1)) + 8) // 16) * 16
+        R = -(-max(len(region) // 512, 1) // 8) * 8
+        ridx = np.minimum(a_row[:, None] + np.arange(rpad)[None, :],
+                          max(R - 1, 0)).astype(np.int32).reshape(-1)
+        starts = (H & 255).astype(np.int32).reshape(nb, NT)
+        buf = np.zeros(R * 512, np.uint8)
+        buf[: len(region)] = np.frombuffer(region, np.uint8)
+        pre8 = np.zeros((nb, G, 8), np.uint8)
+        for g, (_, pre6, _) in enumerate(part):
+            pre8[g, :, :6] = np.frombuffer(pre6, np.uint8).reshape(G, 6)
+        x = pre8.reshape(nb, G * 8).view("<u8")
+        words = np.empty((nb, 2 * G), np.uint32)
+        words[:, 0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
+        words[:, 1::2] = (x >> 32).astype(np.uint32)
+        dec_args.append((
+            jax.device_put(jnp.asarray(buf.view("<u4").reshape(R, 128)), dev),
+            jax.device_put(jnp.asarray(ridx), dev),
+            jax.device_put(jnp.asarray(starts), dev),
+            jax.device_put(jnp.asarray(words.reshape(nb, 16, 128)), dev),
+            nb, rpad,
+        ))
+
+    from range_coder_rust_tpu.kernels.rans_decode import rans_decode_tiled
+
+    def dec_step(arg):
+        stream_rows, ridx, starts, pre, nb, rpad = arg
+        padded = rans_codec._pad_stream(
+            stream_rows, ridx, ng=nb, nt=NT, rpad=rpad)
+        sym = rans_decode_tiled(
+            padded, starts, pre, cum_vreg,
+            block_len=L, a_count=256, interpret=False)
+        return rans_codec._finalize(sym, out_dtype=jnp.uint8)
+
+    jax.block_until_ready([dec_step(a) for a in dec_args])  # compile
+    dec_t = timed_best(lambda: [dec_step(a) for a in dec_args], block, reps)
     scale = n / nfit
-    return enc_t * scale, dec_t * scale, cont_bits
+    return enc_t * scale, dec_t * scale, cont_bits, {
+        "encode_first_s": round(enc_compile, 1),
+        "decode_first_s": round(dec_compile, 1),
+    }
 
 
 def bench_planar(jax, jnp, dev, data, t, L, k, reps):
@@ -290,11 +312,13 @@ def bench_planar(jax, jnp, dev, data, t, L, k, reps):
     t0 = time.time()
     code, lengths = encode_blocks(syms, c, cum, k=k, capacity=cap)
     jax.block_until_ready((code, lengths))
-    log(f"planar encode compile+first: {time.time() - t0:.1f}s")
+    enc_compile = time.time() - t0
+    log(f"planar encode compile+first: {enc_compile:.1f}s")
     t0 = time.time()
     dec = decode_blocks(code, c, cum, k=k, block_len=L)
     jax.block_until_ready(dec)
-    log(f"planar decode compile+first: {time.time() - t0:.1f}s")
+    dec_compile = time.time() - t0
+    log(f"planar decode compile+first: {dec_compile:.1f}s")
     assert np.array_equal(np.asarray(dec), rows), "round trip failed"
     lengths_np = np.asarray(lengths)
     assert int(lengths_np.max()) <= cap, "capacity overflow"
@@ -307,7 +331,10 @@ def bench_planar(jax, jnp, dev, data, t, L, k, reps):
     dec_t = timed_best(
         lambda: decode_blocks(code, c, cum, k=k, block_len=L), block, reps)
     scale = n / (B * L)
-    return enc_t * scale, dec_t * scale, cont_bits
+    return enc_t * scale, dec_t * scale, cont_bits, {
+        "encode_first_s": round(enc_compile, 1),
+        "decode_first_s": round(dec_compile, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -37,7 +37,11 @@ class CodecConfig:
     of these — SURVEY.md §5 'config system: absent')."""
 
     k: int = 16  # total_freq = 2**k
-    block_len: int = 512  # symbols per block (L); short blocks keep XLA's run-length compaction bandwidth-bound
+    #: symbols per block (L).  None picks a profile-appropriate default:
+    #: 512 for planar (short blocks keep XLA's run-length compaction
+    #: bandwidth-bound), 65536 for rans16 (long lanes amortize the
+    #: per-lane state overhead below the scalar reference's stream size).
+    block_len: Optional[int] = None
     with_checksums: bool = True
     chunk_symbols: int = _CHUNK_SYMBOLS
     #: "planar" = block-parallel range coder (byte-exact reference
@@ -53,6 +57,10 @@ class CodecConfig:
     def __post_init__(self):
         if not 1 <= self.k <= 16:
             raise ConfigError(f"k={self.k} out of range [1, 16]")
+        if self.block_len is None:
+            object.__setattr__(
+                self, "block_len",
+                65536 if self.profile == "rans16" else 512)
         if self.block_len < 1:
             raise ConfigError(f"block_len={self.block_len} must be >= 1")
         if self.profile not in ("planar", "rans16"):

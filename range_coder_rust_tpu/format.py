@@ -51,7 +51,11 @@ import numpy as np
 from .errors import ChecksumMismatch, InvalidHeader
 
 MAGIC = b"RCT1"
-VERSION = 1
+#: container version.  2 = round-3 rans16 payload layout (per-tile region
+#: sizes + 48-bit preamble states); version-1 planar/raw containers are
+#: still readable (their payload layout never changed), version-1 rans16
+#: containers are rejected with a clear error.
+VERSION = 2
 
 FLAG_PER_BLOCK_TABLES = 1 << 0
 FLAG_CRC32 = 1 << 1
@@ -158,8 +162,13 @@ def unpack(blob: bytes, *, verify_checksums: bool = True) -> Container:
     )
     if magic != MAGIC:
         raise InvalidHeader(f"bad magic {magic!r}")
-    if version != VERSION:
+    if version not in (1, VERSION):
         raise InvalidHeader(f"unsupported version {version}")
+    if version == 1 and flags & FLAG_RANS16:
+        raise InvalidHeader(
+            "version-1 rans16 container: the rans16 payload layout changed "
+            "in version 2 (per-tile sizes, 48-bit preamble); re-encode"
+        )
     raw_total = bool(flags & FLAG_RAW_TOTAL)
     if raw_total:
         if k != 0:

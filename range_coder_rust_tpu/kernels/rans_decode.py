@@ -11,22 +11,27 @@ Per step, for all 1024 lanes of a group at once:
   4. refill: lanes with ``x < 2^32`` shift in one halfword each.  Refilling
      lanes' halfwords are consecutive in the stream (rans.py layout), so a
      boolean lane prefix-sum (two MXU contractions) gives each lane's
-     offset, and the fetch is a gather within a 16-row (8 KB) window —
-     a step consumes at most 1024 halfwords (= 4 rows), so the window
-     always covers it.
+     offset, and the fetch is a gather within an 8-row (4 KB) window.
 
-Stream words are little-endian u32 (two halfwords per word).  The kernel is
-pure (8, 128)-shaped jnp: identical under ``interpret=True`` (CPU tests)
-and Mosaic-compiled on hardware.  The whole group stream lives in the
-kernel's VMEM input block (revisited across step-tiles), which caps the
-supported geometry at a few MB per group stream; the HBM-streaming variant
-for very long lanes arrives with the large-L container profile.
+## Tile-local streams (round 3)
+
+The container records each 64-step tile's region size (format.py v2 /
+kernels/rans_encode.py), so the host can hand the kernel a PADDED
+per-tile window layout — grid (groups, tiles), each tile's stream rows in
+its own input block, the region starting at a per-tile halfword offset
+(SMEM).  Lane states thread across tiles through VMEM scratch; tile 0
+primes them from the 8-byte-per-lane preamble words (a separate tiny
+input).  This replaces round 2's whole-stream-in-VMEM block (which capped
+lane length at a few MB of VMEM) and its host-chained segment calls.
+
+Stream words are little-endian u32 (two halfwords per word).  The kernel
+is pure (8, 128)-shaped jnp: identical under ``interpret=True`` (CPU
+tests) and Mosaic-compiled on hardware.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,28 +47,27 @@ _I32 = jnp.int32
 
 #: lanes per group (must match rans.GROUP_LANES)
 G = 1024
-#: steps per grid tile (out tile = TCH*8 x 128 i32 = 256 KB)
+#: steps per grid tile (must match rans_encode.TILE_STEPS)
 TILE_STEPS = 64
 #: window rows fetched per refill: a step consumes <= 1024 halfwords
 #: (4 rows + within-row offset -> 5 rows); 8 unaligned rows cover it
 _WIN_ROWS = 8
 
 
-def _rans_decode_kernel(probe_ref, cum_ref, aux_ref, stream_ref, st_in_ref,
-                        out_ref, st_out_ref, st_ref, cur_ref, *,
-                        block_len: int, a_count: int, tile_steps: int,
-                        primed: bool):
-    """One (group, step-tile).  probe_ref SMEM (4,) u32 = cum values at the
-    two data-independent early probe positions (see rans_decode_words);
-    cum_ref (8,128) u32 (prep_cum_vreg); stream_ref (1, rowsW, 128) u32 LE
-    words; st_in_ref (1, 2, 8, 128) u32 carried-in states (segment
-    chaining — used when not ``primed``); out_ref (1, tile_steps*8, 128)
-    i32; st_out_ref (1, 2, 8, 128) u32 final states; st_ref VMEM
-    (2, 8, 128) u32 state limbs; cur_ref SMEM (1,) i32 absolute halfword
-    cursor.  ``primed``: the stream starts with the 8*G-byte preamble
-    (segment 0); otherwise it is a bare region section and states come
-    from st_in_ref."""
+def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
+                        stream_ref, out_ref, st_ref, *, a_count: int,
+                        tile_steps: int):
+    """One (group, step-tile), tiles in time order.  probe_ref SMEM (4,)
+    u32 = cum values at the two data-independent early probe positions
+    plus j0 (see rans_decode_tiled); starts_ref SMEM (NG, NT) i32 = each
+    tile's region start offset (halfwords) within its stream block;
+    cum_ref (8,128) u32 (prep_cum_vreg); pre_ref (1, 16, 128) u32 preamble
+    words (lane l's state = LE words 2l lo / 2l+1 hi); stream_ref
+    (1, 1, rows_pad, 128) u32 LE words — THIS tile's region rows; out_ref
+    (1, 1, tile_steps*8, 128) i32; st_ref VMEM scratch (2, 8, 128) u32
+    state limbs carried across tiles."""
     tau = pl.program_id(1)
+    g_idx = pl.program_id(0)
     # gathers dominate the step.  For a_count <= 256 ("packed" path) the
     # search probes ONE broadcast row of halfword-packed ``cum[j+1]-1``
     # values (1 gather/probe) and the final cum/c lookup reads a single
@@ -82,21 +86,14 @@ def _rans_decode_kernel(probe_ref, cum_ref, aux_ref, stream_ref, st_in_ref,
 
     @pl.when(tau == 0)
     def _():
-        if primed:
-            # prime: lane l's state = LE words 2l (lo) and 2l+1 (hi)
-            lane = (
-                jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
-                + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
-            )
-            pre = stream_ref[0, 0:16, :]  # 2048 words = 8*G-byte preamble
-            pre_rows = _bcast_rows(pre)
-            st_ref[1] = _lookup_rows(pre_rows, lane * 2)      # x.lo
-            st_ref[0] = _lookup_rows(pre_rows, lane * 2 + 1)  # x.hi (<2^16)
-            cur_ref[0] = 4 * G  # first region halfword (after the preamble)
-        else:
-            st_ref[0] = st_in_ref[0, 0]
-            st_ref[1] = st_in_ref[0, 1]
-            cur_ref[0] = 0  # bare region section
+        # prime: lane l's state = LE words 2l (lo) and 2l+1 (hi)
+        lane = (
+            jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+        )
+        pre_rows = _bcast_rows(pre_ref[0])
+        st_ref[1] = _lookup_rows(pre_rows, lane * 2)      # x.lo
+        st_ref[0] = _lookup_rows(pre_rows, lane * 2 + 1)  # x.hi (<2^16)
 
     def body(t, carry):
         xhi, xlo, ch = carry
@@ -155,9 +152,9 @@ def _rans_decode_kernel(probe_ref, cum_ref, aux_ref, stream_ref, st_in_ref,
         # 4. refill lanes with x < 2^32, one halfword each, lane-ordered
         cond = nhi == 0
         rank, s_t = _lane_prefix_flat(cond.astype(_I32))
-        lh = ch + rank  # absolute halfword index per lane
+        lh = ch + rank  # block-local halfword index per lane
         row = ch >> 8  # 256 halfwords per 128-word row
-        win = stream_ref[0, pl.ds(row, _WIN_ROWS), :]
+        win = stream_ref[0, 0, pl.ds(row, _WIN_ROWS), :]
         wrows = _bcast_rows(win)
         lw = (lh >> 1) - row * 128  # window-local word index, < 1024
         word = _lookup_rows(wrows, lw)
@@ -168,59 +165,50 @@ def _rans_decode_kernel(probe_ref, cum_ref, aux_ref, stream_ref, st_in_ref,
         xhi2 = jnp.where(cond, rhi, nhi)
         xlo2 = jnp.where(cond, rlo, nlo)
 
-        out_ref[0, pl.ds(t * 8, 8), :] = idx
+        out_ref[0, 0, pl.ds(t * 8, 8), :] = idx
         return (xhi2, xlo2, ch + s_t.astype(_I32))
 
-    xhi, xlo, ch = jax.lax.fori_loop(
-        0, tile_steps, body, (st_ref[0], st_ref[1], cur_ref[0])
+    xhi, xlo, _ = jax.lax.fori_loop(
+        0, tile_steps, body,
+        (st_ref[0], st_ref[1], starts_ref[g_idx, tau]),
     )
     st_ref[0], st_ref[1] = xhi, xlo
-    cur_ref[0] = ch
-
-    @pl.when(tau == block_len // tile_steps - 1)
-    def _():
-        st_out_ref[0, 0] = xhi
-        st_out_ref[0, 1] = xlo
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "a_count", "primed", "return_state",
-                     "interpret"),
+    static_argnames=("block_len", "a_count", "interpret"),
 )
-def rans_decode_words(
-    words: jax.Array,
+def rans_decode_tiled(
+    stream: jax.Array,
+    starts: jax.Array,
+    pre: jax.Array,
     cum_vreg: jax.Array,
     *,
     block_len: int,
     a_count: int,
-    st_in: jax.Array | None = None,
-    primed: bool = True,
-    return_state: bool = False,
     interpret: bool = False,
 ):
-    """Decode (NG, rowsW, 128) LE-word group streams -> (NG, G, L) symbols.
+    """Decode padded per-tile stream windows -> (NG, G, L) symbols.
 
-    ``primed=False`` + ``st_in`` (NG, 2, 8, 128): segment-chaining mode —
-    the words are a bare region section (no preamble) and lane states
-    carry over from the previous segment (rans_codec.py).
-    ``return_state``: also return the final (NG, 2, 8, 128) states.
+    Arguments:
+      stream: (NG, NT, rows_pad, 128) u32 LE words — tile (g, t)'s region
+        rows in TIME order, with at least _WIN_ROWS of tail slack rows
+        (content ignored); the region starts at halfword ``starts[g, t]``
+        of the block and its size is implied by the coder (the container's
+        per-tile sizes produce this layout — rans_codec).
+      starts: (NG, NT) int32 halfword offsets.
+      pre: (NG, 16, 128) u32 preamble words (rans_encode layout).
+      cum_vreg: (8, 128) uint32 (prep_cum_vreg).
     """
-    NG, rowsW, _ = words.shape
+    NG, n_tiles, rows_pad, _ = stream.shape
     tile = min(TILE_STEPS, block_len)
-    if block_len % tile:
-        raise ValueError(f"block_len {block_len} % tile {tile} != 0")
-    n_tiles = block_len // tile
-    if st_in is None:
-        if not primed:
-            raise ValueError("primed=False requires st_in")
-        st_in = jnp.zeros((NG, 2, 8, 128), _U32)
+    if block_len % tile or n_tiles != block_len // tile:
+        raise ValueError(
+            f"block_len {block_len} inconsistent with {n_tiles} tiles of {tile}"
+        )
     kern = functools.partial(
-        _rans_decode_kernel,
-        block_len=block_len,
-        a_count=a_count,
-        tile_steps=tile,
-        primed=primed,
+        _rans_decode_kernel, a_count=a_count, tile_steps=tile,
     )
     # cum values at the two data-independent early probe positions, plus
     # j0 = largest s with cum[s] == 0 (zero-frequency repair, see
@@ -231,42 +219,33 @@ def rans_decode_words(
     j0 = jnp.sum((flat[1:a_count] == 0).astype(_U32))
     probes = jnp.stack([flat[m1], flat[m2a], flat[m2b], j0])
     aux = aux_from_cum_flat(flat, a_count)
-    out, st_out = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(NG, n_tiles),
-        out_shape=(
-            jax.ShapeDtypeStruct((NG, block_len * 8, 128), _I32),
-            jax.ShapeDtypeStruct((NG, 2, 8, 128), _U32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((NG, n_tiles, tile * 8, 128), _I32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # probes (4,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # starts (NG, NT)
             pl.BlockSpec((8, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rowsW, 128), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((1, 16, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, 8, 128), lambda g, t: (g, 0, 0, 0),
+            pl.BlockSpec((1, 1, rows_pad, 128), lambda g, t: (g, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, tile * 8, 128), lambda g, t: (g, t, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 2, 8, 128), lambda g, t: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, tile * 8, 128), lambda g, t: (g, t, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 8, 128), _U32),
-            pltpu.SMEM((1,), _I32),
         ],
         interpret=interpret,
-    )(probes, cum_vreg, aux, words, st_in)
+    )(probes, starts, cum_vreg, aux, pre, stream)
     out = out.reshape(NG, block_len, 8, 128)
     sym = jnp.transpose(out, (0, 2, 3, 1)).reshape(NG, G, block_len)
-    if return_state:
-        return sym, st_out
     return sym
 
 
@@ -299,18 +278,6 @@ def aux_from_cum_flat(flat: jax.Array, a_count: int) -> jax.Array:
     return jnp.concatenate(
         [srow.reshape(1, 128), w2.reshape(2, 128),
          jnp.zeros((5, 128), _U32)], axis=0)
-
-
-@jax.jit
-def pack_stream_words_le(streams: jax.Array) -> jax.Array:
-    """(NG, SC) uint8 -> (NG, SC//512, 128) little-endian uint32 words."""
-    NG, SC = streams.shape
-    if SC % 512:
-        raise ValueError("stream capacity must be a multiple of 512")
-    rows = SC // 512
-    w = streams.reshape(NG, rows * 128, 4).astype(_U32)
-    words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24)
-    return words.reshape(NG, rows, 128)
 
 
 def stream_bytes_to_words(stream: bytes, rows: int) -> np.ndarray:

@@ -12,26 +12,35 @@ stage.  Per step, for all 1024 lanes of a group:
      exact fixup steps each (the encode-side analogue of ops/u64.div_small_q);
   4. state update ``x = (q << 16) | (cum + r)``;
   5. the emitted halfwords are compacted to flat-lane order
-     (kernels/compact_flat.py) and blended into the stream buffer at the
-     decrementing region cursor — regions are written back-to-front, so the
-     finished region section sits right-aligned in the capacity buffer.
+     (kernels/compact_flat.py) and blended into the tile's stream buffer at
+     the decrementing region cursor — regions are written back-to-front, so
+     each tile's finished region sits right-aligned in its block.
 
-Outputs (see ``rans_encode_tiles``): the final states (the stream
-preamble), the region section as a HALFWORD-EXPANDED buffer (one u16 value
-per u32 slot — packed to real halfword pairs by ``pack_expanded``), and the
-final cursor (= start of the region section; negative means the capacity
-was too small and the encode must be retried bigger — no out-of-bounds
-writes happen).
+## Tile-local output (round 3)
 
-The whole per-group expanded buffer lives in the kernel's revisited VMEM
-output block, capping per-group geometry at ~VMEM size; the HBM-streaming
-variant for very long lanes comes with the large-L container work.
+Each (group, 64-step tile) grid step owns a PRIVATE output block sized for
+the worst case (64 steps x 1024 lanes x at most one halfword per lane-step
+= 65536 halfwords), so capacity overflow is structurally impossible — no
+retries, no entropy-based sizing.  Per-tile region sizes are returned
+(SMEM) and recorded in the container (format.py v2), which is what lets
+the decoder slice its per-tile windows STATICALLY and lets arbitrarily
+long lanes run in ONE kernel invocation (no VMEM whole-stream cap, no
+host-chained segment calls — the round-2 design both of those limited).
+
+Symbol tiles are fed in plain buffer order with forward index maps; the
+time reversal lives entirely in the host-side gather that assembles the
+container (reversed device-side index maps triggered nondeterministic
+pipelining hangs on v5e in round 2).  Output tile k of a group therefore
+holds the emissions of time-tile ``NT - 1 - k``.
+
+Reference parity note: this profile reproduces the capabilities of the
+reference coder (/root/reference/src/encoder.rs, model-driven lossless
+coding), not its byte stream; the byte-exact path is blocks.py.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,10 +54,17 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 _F32 = jnp.float32
 
-#: steps per grid tile
+#: steps per grid tile — the unit of output blocking and container
+#: size-bookkeeping
 TILE_STEPS = 64
 #: lanes per group (must match rans.GROUP_LANES)
 G = 1024
+#: per-tile region capacity in halfwords: every lane can emit at most one
+#: halfword per step, so TILE_STEPS * G is a hard worst case — overflow
+#: cannot happen
+CAP_HW = TILE_STEPS * G
+#: expanded rows per tile block: CAP_HW u32 slots + 16 blend-window slack
+ROWS_E = CAP_HW // 128 + 16
 
 
 def _to_f32(v: jax.Array) -> jax.Array:
@@ -65,25 +81,31 @@ def _div_stage(num_f: jax.Array, den_f: jax.Array) -> jax.Array:
     return jnp.where(q > _U32(2), q - _U32(2), _U32(0))
 
 
-def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, st_in_ref, exp_ref,
-                        pre_ref, cur_ref, st_out_ref, st_ref, cur_s_ref, *,
-                        a_count: int, tile_steps: int, n_tiles: int,
-                        cap_hw: int, chain: bool):
-    """One (group, reversed step-tile).  cum_ref (8,128) u32; sym_ref
-    (1, tile_steps*8, 128) i32 (the tile's symbols, step-ascending rows —
-    the index map hands tiles in reverse order); st_in_ref (1, 2, 8, 128)
-    u32 carried-in state limbs (used when ``chain`` — segment chaining,
-    see rans_codec.py); exp_ref (1, rowsE, 128) u32 halfword-expanded
-    stream (revisited); pre_ref (1, 16, 128) u32 preamble words; cur_ref
-    SMEM-out (1, 1) i32 final cursor; st_out_ref (1, 2, 8, 128) u32 final
-    state limbs (feed the next — earlier-t — segment's call); scratch:
-    st_ref (2, 8, 128) u32 state limbs, cur_s_ref SMEM (1,) i32 cursor."""
-    # tiles arrive already time-reversed (rans_encode_tiles flips them on
-    # device), so the grid's tau walks the buffer FORWARD — the standard
-    # streaming pattern; a reversed input index map triggered
-    # nondeterministic pipelining hangs on v5e at larger tile buffers
+def _mul_u32_shift16(q1: jax.Array, cc: jax.Array):
+    """(q1 * cc) << 16 as u64 limbs, with q1 < 2^16, cc <= 2^16.
+
+    The product q1 * cc is < 2^32 (exact in one u32 multiply); shifting it
+    left 16 splits across the limbs.
+    """
+    p = q1 * cc
+    return p >> _U32(16), p << _U32(16)
+
+
+def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, exp_ref, pre_ref, sz_ref,
+                        st_ref, *, a_count: int, tile_steps: int,
+                        n_tiles: int):
+    """One (group, step-tile), tiles walked in buffer order (= time
+    reversed).  cum_ref (8,128) u32; aux_ref (8,128) packed lookup rows
+    (rans_decode.aux_from_cum_flat); sym_ref (1, tile_steps*8, 128) i32
+    step-ascending rows of time-tile ``n_tiles-1-tau``; exp_ref
+    (1, ROWS_E, 128) u32 halfword-expanded PRIVATE tile block (region ends
+    right-aligned at CAP_HW); pre_ref (1, 16, 128) u32 preamble words
+    (written at the last tile); sz_ref SMEM (NG, n_tiles) i32 per-tile
+    region sizes in halfwords, buffer order; st_ref VMEM scratch
+    (2, 8, 128) u32 state limbs carried across tiles."""
     tau = pl.program_id(1)
     g_idx = pl.program_id(0)
+    cap_hw = tile_steps * 1024
 
     packed = a_count <= 256
     if packed:
@@ -97,18 +119,13 @@ def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, st_in_ref, exp_ref,
 
     @pl.when(tau == 0)
     def _():
-        if chain:
-            st_ref[0] = st_in_ref[0, 0]
-            st_ref[1] = st_in_ref[0, 1]
-        else:
-            st_ref[0] = jnp.full((8, 128), 1, _U32)   # x = 2^32
-            st_ref[1] = jnp.zeros((8, 128), _U32)
-        cur_s_ref[0] = cap_hw
+        st_ref[0] = jnp.full((8, 128), 1, _U32)   # x = 2^32
+        st_ref[1] = jnp.zeros((8, 128), _U32)
 
     def body(j, carry):
         xhi, xlo, ch = carry
         t_local = tile_steps - 1 - j
-        sym = sym_ref[0, pl.ds(t_local * 8, 8), :]
+        sym = sym_ref[0, 0, pl.ds(t_local * 8, 8), :]
 
         if packed:
             w2 = _lookup_rows(w2_rows, sym)
@@ -155,7 +172,6 @@ def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, st_in_ref, exp_ref,
             q2 = q2 + ge.astype(_U32)
             r2 = jnp.where(ge, r2 - cc, r2)
         q_lo = (q1 << _U32(16)) | q2
-        q_hi = q1 >> _U32(16)  # zero, kept for clarity
 
         # c == 2^16 special case: q = x >> 16, r = x & 0xFFFF
         q_lo = jnp.where(full, (xlo1 >> _U32(16)) | (xhi1 << _U32(16)), q_lo)
@@ -169,30 +185,28 @@ def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, st_in_ref, exp_ref,
         comp, rank, s_t = compact_flat_packed(h, emit)
         ch2 = ch - s_t.astype(_I32)
 
-        @pl.when(ch2 >= 0)
-        def _():
-            row0 = ch2 >> 7  # 128 expanded slots per row
-            lb = ch2 - (row0 << 7)  # in [0, 128)
-            placed = flat_roll_dyn_mosaic(comp, lb)
-            flat = (
-                jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
-                + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
-            )
-            hi_end = lb + s_t.astype(_I32)
-            win0 = exp_ref[0, pl.ds(row0, 8), :]
-            m0 = jnp.logical_and(flat >= lb, flat < hi_end)
-            exp_ref[0, pl.ds(row0, 8), :] = jnp.where(m0, placed, win0)
-            win1 = exp_ref[0, pl.ds(row0 + 8, 8), :]
-            m1 = (flat + 1024) < hi_end
-            exp_ref[0, pl.ds(row0 + 8, 8), :] = jnp.where(m1, placed, win1)
+        row0 = ch2 >> 7  # 128 expanded slots per row
+        lb = ch2 - (row0 << 7)  # in [0, 128)
+        placed = flat_roll_dyn_mosaic(comp, lb)
+        flat = (
+            jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+        )
+        hi_end = lb + s_t.astype(_I32)
+        win0 = exp_ref[0, 0, pl.ds(row0, 8), :]
+        m0 = jnp.logical_and(flat >= lb, flat < hi_end)
+        exp_ref[0, 0, pl.ds(row0, 8), :] = jnp.where(m0, placed, win0)
+        win1 = exp_ref[0, 0, pl.ds(row0 + 8, 8), :]
+        m1 = (flat + 1024) < hi_end
+        exp_ref[0, 0, pl.ds(row0 + 8, 8), :] = jnp.where(m1, placed, win1)
 
         return (nxhi, nxlo, ch2)
 
     xhi, xlo, ch = jax.lax.fori_loop(
-        0, tile_steps, body, (st_ref[0], st_ref[1], cur_s_ref[0])
+        0, tile_steps, body, (st_ref[0], st_ref[1], jnp.int32(cap_hw))
     )
     st_ref[0], st_ref[1] = xhi, xlo
-    cur_s_ref[0] = ch
+    sz_ref[g_idx, tau] = cap_hw - ch
 
     @pl.when(tau == n_tiles - 1)
     def _():
@@ -211,94 +225,61 @@ def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, st_in_ref, exp_ref,
             pre_ref[0, pl.ds(half * 8, 8), :] = jnp.where(
                 (word_idx & 1) == 1, hi_v, lo_v
             )
-        st_out_ref[0, 0] = xhi
-        st_out_ref[0, 1] = xlo
-        cur_ref[g_idx, 0] = ch
-
-
-def _mul_u32_shift16(q1: jax.Array, cc: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(q1 * cc) << 16 as u64 limbs, with q1 < 2^16, cc <= 2^16.
-
-    The product q1 * cc is < 2^32 (exact in one u32 multiply); shifting it
-    left 16 splits across the limbs.
-    """
-    p = q1 * cc
-    return p >> _U32(16), p << _U32(16)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "a_count", "cap_hw", "chain",
-                     "return_state", "interpret"),
+    static_argnames=("block_len", "a_count", "interpret"),
 )
-def rans_encode_tiles(
+def rans_encode_tiled(
     symbols: jax.Array,
     cum_vreg: jax.Array,
     *,
     block_len: int,
     a_count: int,
-    cap_hw: int,
-    st_in: jax.Array | None = None,
-    chain: bool = False,
-    return_state: bool = False,
     interpret: bool = False,
 ):
-    """Encode step-major symbol tiles into rans16 group streams.
+    """Encode step-major symbol tiles into per-tile rans16 region blocks.
 
     Arguments:
-      symbols: (NG, L*8, 128) int32 step-major (symbols_to_step_major).
+      symbols: (NG, L*8, 128) int32 step-major (symbols_to_step_major),
+        L == block_len (any multiple of TILE_STEPS, or <= TILE_STEPS).
       cum_vreg: (8, 128) uint32 (prep_cum_vreg).
-      cap_hw: per-group region-section capacity in halfwords; multiple of
-        1024.  ``cursor < 0`` in the result means capacity overflow
-        (retry bigger); nothing is written out of bounds.
-      st_in / chain: segment chaining (rans_codec.py) — when ``chain``,
-        lane states start from ``st_in`` (NG, 2, 8, 128; hi, lo limbs)
-        instead of 2^32.  The encoder runs backward, so the caller feeds
-        the LAST segment first and threads each call's state into the next.
-      return_state: also return the final (NG, 2, 8, 128) states.
 
-    Returns ``(pre, expanded, cursor[, states])``: (NG, 16, 128) u32
-    preamble words, (NG, cap_hw // 128 + 16, 128) u32 halfword-expanded
-    region buffer (right-aligned: valid slots are [cursor, cap_hw); the
-    +16 rows are blend-window slack), (NG, 1) i32 cursors.
+    Returns ``(pre, exp, sizes)``:
+      pre: (NG, 16, 128) u32 preamble words (lane states, lo/hi pairs);
+      exp: (NG, NT, ROWS_E_t, 128) u32 halfword-expanded tile blocks —
+        tile k holds TIME-tile ``NT-1-k``, its region right-aligned at
+        slots ``[cap - sizes[g, k], cap)`` with ``cap = tile*1024``;
+      sizes: (NG, NT) int32 region sizes in halfwords, buffer order.
     """
     NG, rows, _ = symbols.shape
     if rows != block_len * 8:
         raise ValueError(f"symbols rows {rows} != 8 * block_len {block_len}")
-    if cap_hw % 1024:
-        raise ValueError(f"cap_hw {cap_hw} must be a multiple of 1024")
     tile = min(TILE_STEPS, block_len)
     if block_len % tile:
         raise ValueError(f"block_len {block_len} % tile {tile} != 0")
     n_tiles = block_len // tile
-    if st_in is None:
-        if chain:
-            raise ValueError("chain=True requires st_in")
-        st_in = jnp.zeros((NG, 2, 8, 128), _U32)
-    # reverse the step-tiles on device so the kernel's input index map is
-    # the plain forward (g, t) — see the kernel-side comment
-    if n_tiles > 1:
-        symbols = jnp.flip(
-            symbols.reshape(NG, n_tiles, tile * 8, 128), axis=1
-        ).reshape(NG, rows, 128)
-    # +16 slack rows: the two 8-row blend windows of a write near the top
-    # of the buffer may extend past cap_hw
-    rowsE = cap_hw // 128 + 16
+    rows_e = tile * 1024 // 128 + 16
     kern = functools.partial(
         _rans_encode_kernel, a_count=a_count, tile_steps=tile,
-        n_tiles=n_tiles, cap_hw=cap_hw, chain=chain,
+        n_tiles=n_tiles,
     )
     from .rans_decode import aux_from_cum_flat
 
     aux = aux_from_cum_flat(cum_vreg.reshape(-1), a_count)
-    exp, pre, cur, st_out = pl.pallas_call(
+    # reverse the step-tiles on device (the encoder walks time backward,
+    # tile n_tiles-1 first) so the kernel's index maps stay plain forward —
+    # reversed index maps triggered nondeterministic pipelining hangs on
+    # v5e in round 2; XLA fuses the flip with the step-major transpose
+    sym4 = jnp.flip(symbols.reshape(NG, n_tiles, tile * 8, 128), axis=1)
+    exp, pre, sz = pl.pallas_call(
         kern,
         grid=(NG, n_tiles),
         out_shape=(
-            jax.ShapeDtypeStruct((NG, rowsE, 128), _U32),
+            jax.ShapeDtypeStruct((NG, n_tiles, rows_e, 128), _U32),
             jax.ShapeDtypeStruct((NG, 16, 128), _U32),
-            jax.ShapeDtypeStruct((NG, 1), _I32),
-            jax.ShapeDtypeStruct((NG, 2, 8, 128), _U32),
+            jax.ShapeDtypeStruct((NG, n_tiles), _I32),
         ),
         in_specs=[
             pl.BlockSpec((8, 128), lambda g, t: (0, 0),
@@ -306,37 +287,37 @@ def rans_encode_tiles(
             pl.BlockSpec((8, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, tile * 8, 128),
-                lambda g, t: (g, t, 0),
+                (1, 1, tile * 8, 128),
+                lambda g, t: (g, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 2, 8, 128), lambda g, t: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, rowsE, 128), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((1, 1, rows_e, 128), lambda g, t: (g, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (NG, 1) array
-            pl.BlockSpec((1, 2, 8, 128), lambda g, t: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (NG, NT) array
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 8, 128), _U32),
-            pltpu.SMEM((1,), _I32),
         ],
         interpret=interpret,
-    )(cum_vreg, aux, symbols, st_in)
-    if return_state:
-        return pre, exp, cur, st_out
-    return pre, exp, cur
+    )(cum_vreg, aux, sym4)
+    return pre, exp, sz
 
 
-@jax.jit
-def pack_expanded(exp: jax.Array) -> jax.Array:
-    """(NG, rowsE, 128) u32 halfword-expanded -> (NG, rowsE//2, 128) u32
-    LE words (slot 2j -> low half, 2j+1 -> high half)."""
-    NG, rowsE, _ = exp.shape
-    flat = exp.reshape(NG, rowsE * 64, 2)
-    return (flat[..., 0] | (flat[..., 1] << 16)).reshape(NG, rowsE // 2, 128)
+@functools.partial(jax.jit, static_argnames=("rows_out",))
+def pack_and_gather(exp: jax.Array, row_idx: jax.Array, *, rows_out: int):
+    """Halfword-expanded tile blocks -> compact LE-word stream rows.
+
+    ``exp`` (NG, NT, rows_e, 128) u32 expanded (one u16 per u32 slot);
+    ``row_idx`` (rows_out,) int32 indices into the packed row space
+    ``(NG*NT*rows_e/2, 128)`` selecting, in container order, the 256-
+    halfword rows covering every tile's region (host-computed from the
+    kernel's sizes; see rans_codec).  Returns (rows_out, 128) u32 words.
+    """
+    NG, NT, rows_e, _ = exp.shape
+    flat = exp.reshape(NG * NT * rows_e * 64, 2)
+    words = (flat[:, 0] | (flat[:, 1] << 16)).reshape(-1, 128)
+    return jnp.take(words, row_idx, axis=0)

@@ -1,37 +1,43 @@
 """Host orchestration for the rans16 profile: array <-> container.
 
-The device kernels (kernels/rans_encode.py, kernels/rans_decode.py) work in
-group granularity; this module chooses geometry, sizes capacities from the
-table's entropy (retrying bigger on the kernel's overflow signal), batches
-groups into bounded device invocations, and assembles/parses the container
-(format.py, FLAG_RANS16).
+The device kernels (kernels/rans_encode.py, kernels/rans_decode.py) work
+in (group, 64-step tile) granularity; this module chooses geometry,
+batches groups into bounded device invocations, and assembles/parses the
+container (format.py, FLAG_RANS16, container VERSION 2).
 
 Symbol order contract: lane ``l`` of group ``g`` encodes the flat segment
 ``[(g * G + l) * L, (g * G + l + 1) * L)`` — i.e. ``reshape(NG * G, L)``
 row-major, exactly like the planar profile's blocks.
 
-## Segment chaining (long lanes)
+## Tile-sized regions (payload layout v2)
 
-The per-lane fixed cost is ~56 bits (the stored final state minus the
-information it carries), so the compressed rate is ``H_q + 56/L`` bits/sym
-— beating the scalar reference's stream size (BASELINE acceptance) needs
-``L`` in the tens of thousands, far beyond what one kernel invocation's
-VMEM stream buffer can hold.  Lanes longer than ``SEG`` are therefore
-encoded in SEG-step segments by repeated kernel calls that thread the lane
-states through (``st_in``/``return_state``): the encoder runs backward, so
-segment ``NS-1`` is encoded first and segment 0 last; each segment's
-emissions are exactly the halfwords the decoder refills during that
-segment, so each segment's region section is self-delimiting and the
-decoder simply runs the same chain forward (segment 0 primed from the
-preamble, later segments with carried states and a bare region buffer).
+The encoder emits, per 64-step tile, the halfwords the decoder refills
+during that tile; the container records each tile's region size, so both
+directions move through the device as STATICALLY-shaped tile windows:
 
-Per-group payload layout:
+* encode: the kernel writes each tile's region right-aligned into a
+  private worst-case-sized block (overflow impossible); one device
+  gather compacts the 512-B rows covering every region into container
+  order, and the host drops the per-tile sub-row junk with one boolean
+  mask — no per-group Python assembly, and the D2H transfer is ~the
+  compressed size.
+* decode: the host computes each tile's covering rows + start offset
+  from the recorded sizes; one device gather pads the uploaded stream
+  into per-tile windows; the kernel walks them with a per-tile SMEM
+  start cursor.  Lane states thread across tiles inside the kernel.
 
-    u32 NS | u32 region_bytes[NS] | preamble (8 * G bytes) | regions 0..NS-1
+Per-group payload layout (container VERSION 2):
+
+    u32 NT | u32 region_hw[NT] (time order) | preamble (6 * G bytes,
+    lane l's final state as 48-bit LE at [6l, 6l+6)) | regions 0..NT-1
+
+The 48-bit preamble is exact — states live in [2^32, 2^48) — and saves
+16 bits/lane of container overhead vs round 2's 64-bit layout.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Tuple
 
@@ -44,15 +50,19 @@ from . import rans
 from .errors import ConfigError, InvalidHeader
 from .kernels.decode_pallas import prep_cum_vreg
 from .kernels.encode_pallas import symbols_to_step_major
-from .kernels.rans_decode import rans_decode_words, stream_bytes_to_words
-from .kernels.rans_encode import TILE_STEPS, pack_expanded, rans_encode_tiles
+from .kernels.rans_decode import rans_decode_tiled
+from .kernels.rans_encode import TILE_STEPS, pack_and_gather, rans_encode_tiled
 from .models.table import Pow2Table
 
 G = rans.GROUP_LANES
 
-#: steps per chained kernel invocation — sized so one segment's stream /
-#: expanded buffers fit VMEM comfortably (~3.5 MB at 8 bits/sym)
-SEG = 2048
+#: device-invocation bound: symbols per encode call (~HBM working set;
+#: the expanded tile blocks cost ~4.2 B/sym on top of the 4 B/sym
+#: step-major symbols)
+_BATCH_SYMBOLS = 128 << 20
+
+#: row-count bucket for the compacted-stream gather (limits recompiles)
+_ROWS_BUCKET = 4096
 
 
 def _interpret() -> bool:
@@ -60,170 +70,220 @@ def _interpret() -> bool:
     (CPU test meshes) — identical semantics, slower."""
     return jax.default_backend() != "tpu"
 
-#: device-invocation bound: groups per call (VMEM is per-group; HBM holds
-#: the batch)
-_GROUPS_PER_CALL = 8
+
+@functools.partial(jax.jit, static_argnames=("block_len", "a_count", "interpret"))
+def _encode_device(rows, cum_vreg, *, block_len, a_count, interpret):
+    """(B, L) symbol rows (any int dtype) -> (pre, exp, sizes)."""
+    sym_t = symbols_to_step_major(rows.astype(jnp.int32))
+    return rans_encode_tiled(
+        sym_t, cum_vreg, block_len=block_len, a_count=a_count,
+        interpret=interpret)
 
 
-def _entropy_bits(table: Pow2Table) -> float:
-    c = table.c.astype(np.float64)
-    p = c / float(1 << table.k)
-    nz = p > 0
-    return float(-(p[nz] * np.log2(p[nz])).sum())
+@functools.partial(jax.jit, static_argnames=("ng", "nt", "rpad"))
+def _pad_stream(stream_rows, idx, *, ng, nt, rpad):
+    """(R, 128) stream rows + (ng*nt*rpad,) row indices -> per-tile
+    padded windows (ng, nt, rpad, 128)."""
+    return jnp.take(stream_rows, idx, axis=0).reshape(ng, nt, rpad, 128)
 
 
-def _cap_hw_for(L: int, bits: float, attempt: int) -> int:
-    """Per-group per-segment region capacity (halfwords), growing with
-    each retry."""
-    base = G * L * bits / 16.0
-    cap = int(base * (1.2 * (2 ** attempt)) + 4096)
-    cap = min(cap, G * L)  # hard bound: one halfword per symbol per step
-    return -(-cap // 1024) * 1024
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _finalize(sym, *, out_dtype):
+    """(NG, G, L) kernel output -> flat (NG*G*L,) in the narrowest dtype
+    (shrinks the D2H transfer 4x for byte alphabets)."""
+    NG, g, L = sym.shape
+    return sym.reshape(NG * g * L).astype(out_dtype)
 
 
-def _segments(block_len: int, seg: int) -> Tuple[int, int]:
-    """(n_segments, seg_len) for a lane of ``block_len`` steps."""
-    if block_len <= seg:
-        return 1, block_len
-    if block_len % seg:
+def _rows_e(tile: int) -> int:
+    return tile * 1024 // 128 + 16
+
+
+def _tile_geometry(block_len: int) -> Tuple[int, int]:
+    """(tile_steps, n_tiles) for a lane length."""
+    tile = min(TILE_STEPS, block_len)
+    if block_len % tile:
         raise ConfigError(
-            f"rans16 block_len {block_len} must be <= {seg} or a multiple"
-        )
-    return block_len // seg, seg
+            f"rans16 block_len {block_len} must be <= {TILE_STEPS} or a "
+            f"multiple of it")
+    return tile, block_len // tile
 
 
 def encode_groups(
-    symbols: np.ndarray, table: Pow2Table, block_len: int, *, seg: int = SEG
+    symbols: np.ndarray, table: Pow2Table, block_len: int
 ) -> List[bytes]:
     """Encode (NG*G, L) padded symbol rows into per-group payload bytes."""
     n_rows, L = symbols.shape
     if L != block_len or n_rows % G:
         raise ConfigError(f"bad group geometry ({n_rows}, {L})")
     NG = n_rows // G
-    NS, seg_len = _segments(block_len, seg)
+    tile, NT = _tile_geometry(L)
+    cap = tile * 1024           # per-tile capacity (halfwords)
+    rows_p = cap // 256         # packed word-rows per tile block
     cum_vreg = jnp.asarray(prep_cum_vreg(table.cum))
-    bits = max(_entropy_bits(table), 0.05)
     a_count = int(table.c.shape[0])
+    interp = _interpret()
 
+    gpc = max(1, _BATCH_SYMBOLS // (G * L))
     payloads: List[bytes] = []
-    for start in range(0, NG, _GROUPS_PER_CALL):
-        stop = min(start + _GROUPS_PER_CALL, NG)
+    for start in range(0, NG, gpc):
+        stop = min(start + gpc, NG)
         nb = stop - start
-        chunk = symbols[start * G : stop * G]
-        regions: List[List[bytes]] = [[] for _ in range(nb)]
-        state = None
-        pre_np = None
-        for s in range(NS - 1, -1, -1):
-            chunk_s = chunk[:, s * seg_len : (s + 1) * seg_len]
-            sym_t = symbols_to_step_major(jnp.asarray(chunk_s))
-            attempt = 0
-            while True:
-                cap_hw = _cap_hw_for(seg_len, bits, attempt)
-                pre, exp, cur, st_out = rans_encode_tiles(
-                    sym_t, cum_vreg, block_len=seg_len, a_count=a_count,
-                    cap_hw=cap_hw, st_in=state, chain=state is not None,
-                    return_state=True, interpret=_interpret(),
-                )
-                cur_np = np.asarray(cur)
-                if int(cur_np.min()) >= 0:
-                    break
-                attempt += 1
-                if cap_hw >= G * seg_len:  # already at the hard bound
-                    raise AssertionError("rans16 capacity exceeded hard bound")
-            state = st_out
-            packed = np.asarray(pack_expanded(exp))
-            for g in range(nb):
-                c = int(cur_np[g, 0])
-                regions[g].insert(0, packed[g].reshape(-1).astype(
-                    "<u4").tobytes()[2 * c : 2 * cap_hw])
-            if s == 0:
-                pre_np = np.asarray(pre)
+        chunk = jnp.asarray(symbols[start * G : stop * G])
+        pre, exp, sizes = _encode_device(
+            chunk, cum_vreg, block_len=L, a_count=a_count, interpret=interp)
+        sizes_np = np.asarray(sizes)          # (nb, NT) buffer order
+        pre_np = np.asarray(pre)              # (nb, 16, 128) u32
+
+        # tile k of the exp buffer holds TIME-tile NT-1-k
+        s_time = sizes_np[:, ::-1]            # (nb, NT) halfwords, time order
+        start_row = (cap - s_time) >> 8       # first covering packed row
+        counts = (rows_p - start_row).reshape(-1)          # rows per tile
+        base = (
+            (np.arange(nb)[:, None] * NT + np.arange(NT)[None, ::-1])
+            * (_rows_e(tile) // 2)
+        ).reshape(-1)                          # packed-row base per TIME tile
+        total = int(counts.sum())
+        csum = np.cumsum(counts) - counts
+        offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+        row_idx = (np.repeat(base + start_row.reshape(-1), counts) + offs
+                   ).astype(np.int32)
+        rows_out = -(-max(total, 1) // _ROWS_BUCKET) * _ROWS_BUCKET
+        row_idx = np.pad(row_idx, (0, rows_out - total))
+
+        words = pack_and_gather(exp, jnp.asarray(row_idx), rows_out=rows_out)
+        flat_hw = np.asarray(words).reshape(-1).view("<u2")[: total * 256]
+
+        # drop each tile's sub-row junk prefix ((cap - s) & 255 halfwords)
+        junk = ((cap - s_time) & 255).reshape(-1)
+        span_start = csum * 256
+        keep = np.ones(total * 256, bool)
+        for a, j in zip(span_start.tolist(), junk.tolist()):
+            if j:
+                keep[a : a + j] = False
+        region_hw = flat_hw[keep]
+
+        # 48-bit preamble: LE u64 per lane (words 2l lo / 2l+1 hi), top
+        # 2 bytes always zero (states < 2^48)
+        group_hw = s_time.sum(axis=1)
+        bounds = np.concatenate([[0], np.cumsum(group_hw)])
+        hdr_nt = np.uint32(NT).tobytes()
         for g in range(nb):
-            sizes = np.array([len(r) for r in regions[g]], "<u4")
+            pre6 = (
+                pre_np[g].reshape(-1).view("<u8").view(np.uint8)
+                .reshape(G, 8)[:, :6].tobytes()
+            )
             payloads.append(
-                np.uint32(NS).tobytes()
-                + sizes.tobytes()
-                + pre_np[g].reshape(-1).astype("<u4").tobytes()
-                + b"".join(regions[g])
+                hdr_nt
+                + s_time[g].astype("<u4").tobytes()
+                + pre6
+                + region_hw[bounds[g] : bounds[g + 1]].tobytes()
             )
     return payloads
 
 
-def _parse_payload(p: bytes, block_len: int, seg: int):
-    """Split one group payload -> (preamble bytes, [region bytes])."""
-    NS, seg_len = _segments(block_len, seg)
+def _parse_payload(p, block_len: int):
+    """One group payload -> (sizes (NT,) int64, pre6 bytes, region bytes)."""
+    tile, NT = _tile_geometry(block_len)
+    p = memoryview(p)
     if len(p) < 4:
         raise InvalidHeader("rans16 payload too short")
-    ns = int(np.frombuffer(p[:4], "<u4")[0])
-    if ns != NS:
+    nt = int(np.frombuffer(p[:4], "<u4")[0])
+    if nt != NT:
         raise InvalidHeader(
-            f"rans16 payload has {ns} segments, geometry implies {NS}"
-        )
-    head = 4 + 4 * NS
+            f"rans16 payload has {nt} tiles, geometry implies {NT}")
+    head = 4 + 4 * NT
     sizes = np.frombuffer(p[4:head], "<u4").astype(np.int64)
-    pre = p[head : head + 8 * G]
-    if len(pre) != 8 * G or head + 8 * G + int(sizes.sum()) != len(p):
+    if np.any(sizes > tile * 1024):
+        raise InvalidHeader("rans16 tile size exceeds capacity")
+    pre6 = p[head : head + 6 * G]
+    off = head + 6 * G
+    if len(pre6) != 6 * G or off + 2 * int(sizes.sum()) != len(p):
         raise InvalidHeader("rans16 payload size mismatch")
-    regions = []
-    off = head + 8 * G
-    for sz in sizes.tolist():
-        regions.append(p[off : off + sz])
-        off += sz
-    return pre, regions
+    return sizes, pre6, p[off:]
 
 
 def decode_groups(
-    payloads: List[bytes], table_c: np.ndarray, block_len: int,
-    *, seg: int = SEG
+    payloads: List[bytes], table_c: np.ndarray, block_len: int
 ) -> np.ndarray:
     """Decode per-group payload bytes back to (NG*G, L) symbol rows."""
     NG = len(payloads)
-    a = int(table_c.shape[0])
-    NS, seg_len = _segments(block_len, seg)
+    a_count = int(table_c.shape[0])
     cum = np.concatenate([[0], np.cumsum(table_c)]).astype(np.uint32)
     cum_vreg = jnp.asarray(prep_cum_vreg(cum))
+    gpc = max(1, _BATCH_SYMBOLS // (G * block_len))
+    if NG <= gpc:
+        return _decode_batch(payloads, cum_vreg, a_count, block_len)
     out = np.empty((NG * G, block_len), np.int32)
-    for start in range(0, NG, _GROUPS_PER_CALL):
-        stop = min(start + _GROUPS_PER_CALL, NG)
-        nb = stop - start
-        parsed = [_parse_payload(p, block_len, seg)
-                  for p in payloads[start:stop]]
-        state = None
-        for s in range(NS):
-            bufs = [
-                (pre + regions[s]) if s == 0 else regions[s]
-                for pre, regions in parsed
-            ]
-            rows = max((len(b) + 511) // 512 for b in bufs) + 10
-            rows = -(-rows // 8) * 8
-            words = jnp.asarray(
-                np.stack([stream_bytes_to_words(b, rows) for b in bufs])
-            )
-            dec, state = rans_decode_words(
-                words, cum_vreg, block_len=seg_len, a_count=a,
-                st_in=state, primed=s == 0, return_state=True,
-                interpret=_interpret(),
-            )
-            out[start * G : stop * G,
-                s * seg_len : (s + 1) * seg_len] = np.asarray(dec).reshape(
-                nb * G, seg_len)
+    for start in range(0, NG, gpc):
+        stop = min(start + gpc, NG)
+        out[start * G : stop * G] = _decode_batch(
+            payloads[start:stop], cum_vreg, a_count, block_len)
     return out
+
+
+def _decode_batch(
+    payloads: List[bytes], cum_vreg, a_count: int, block_len: int
+) -> np.ndarray:
+    """Decode one bounded batch of group payloads."""
+    NG = len(payloads)
+    tile, NT = _tile_geometry(block_len)
+    interp = _interpret()
+
+    parsed = [_parse_payload(p, block_len) for p in payloads]
+    sizes = np.stack([s for s, _, _ in parsed])            # (NG, NT)
+    region = b"".join(bytes(r) for _, _, r in parsed)
+    stream_hw = np.frombuffer(region, "<u2")
+
+    # per-tile global halfword offsets + covering rows
+    flat_sz = sizes.reshape(-1)
+    H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
+    a_row = (H >> 8).astype(np.int64)
+    b_row = (H + flat_sz + 255) >> 8
+    rows_needed = int((b_row - a_row).max(initial=1))
+    rpad = -(-(rows_needed + 8) // 16) * 16
+    R = -(-max(int(stream_hw.size), 1) // (256 * 8)) * 8  # word rows, 8-align
+    ridx = np.minimum(
+        a_row[:, None] + np.arange(rpad)[None, :], max(R - 1, 0)
+    ).astype(np.int32).reshape(-1)
+    starts = (H & 255).astype(np.int32).reshape(NG, NT)
+
+    buf = np.zeros(R * 512, np.uint8)
+    buf[: stream_hw.size * 2] = np.frombuffer(region, np.uint8)
+    stream_rows = jnp.asarray(buf.view("<u4").reshape(R, 128))
+
+    # preamble: 6-byte LE states -> (NG, 16, 128) u32 lo/hi word pairs
+    pre8 = np.zeros((NG, G, 8), np.uint8)
+    for g, (_, pre6, _) in enumerate(parsed):
+        pre8[g, :, :6] = np.frombuffer(pre6, np.uint8).reshape(G, 6)
+    x = pre8.reshape(NG, G * 8).view("<u8")                # (NG, G)
+    words = np.empty((NG, 2 * G), np.uint32)
+    words[:, 0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
+    words[:, 1::2] = (x >> 32).astype(np.uint32)
+    pre = jnp.asarray(words.reshape(NG, 16, 128))
+
+    padded = _pad_stream(
+        stream_rows, jnp.asarray(ridx), ng=NG, nt=NT, rpad=rpad)
+    sym = rans_decode_tiled(
+        padded, jnp.asarray(starts), pre, cum_vreg,
+        block_len=block_len, a_count=a_count, interpret=interp)
+    out_dtype = (jnp.uint8 if a_count <= 256
+                 else jnp.uint16 if a_count <= 65536 else jnp.int32)
+    flat = np.asarray(_finalize(sym, out_dtype=out_dtype))
+    return flat.astype(np.int32).reshape(NG * G, block_len)
 
 
 def _shrink_lane_len(n: int, L: int) -> int:
     """Smallest valid lane length that still covers ``n`` symbols with one
     group, capped at the requested ``L`` — long lanes only pay off when
     there is data to fill them, and shrinking caps the padding waste.
-    Valid lengths: any value <= TILE_STEPS, multiples of TILE_STEPS up to
-    SEG, multiples of SEG beyond (kernel tiling / segment constraints)."""
+    Valid lengths: any value <= TILE_STEPS, else multiples of TILE_STEPS."""
     need = max(1, -(-n // G))
     if need >= L:
         return L
     if need <= TILE_STEPS:
         return need
-    if need <= SEG:
-        return min(L, -(-need // TILE_STEPS) * TILE_STEPS)
-    return min(L, -(-need // SEG) * SEG)
+    return min(L, -(-need // TILE_STEPS) * TILE_STEPS)
 
 
 def encode(
@@ -237,18 +297,18 @@ def encode(
     """Compress a 1-D int32 symbol array into a rans16 container.
 
     ``block_len`` is the REQUESTED lane length; it is shrunk (to a
-    multiple of SEG, or less for tiny inputs) when the input is too small
-    to fill even one group at that length — long lanes only pay off when
-    there is data to fill them, and shrinking caps the padding waste.
+    multiple of TILE_STEPS, or less for tiny inputs) when the input is too
+    small to fill even one group at that length.
     """
     if table.k != 16:
         raise ConfigError("rans16 profile requires k == 16")
     n = int(symbols.size)
-    _segments(block_len, SEG)  # validate requested geometry
+    _tile_geometry(block_len)  # validate requested geometry
     L = _shrink_lane_len(n, block_len)
     ng = max(1, math.ceil(n / (G * L)))
     pad_symbol = int(np.argmax(table.c))
-    padded = np.full(ng * G * L, pad_symbol, np.int32)
+    padded = np.full(ng * G * L, pad_symbol,
+                     np.uint8 if alphabet <= 256 else np.int32)
     padded[:n] = symbols
     payloads = encode_groups(padded.reshape(ng * G, L), table, L)
     return fmt.pack(

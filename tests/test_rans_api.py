@@ -49,32 +49,34 @@ def test_rans16_requires_k16():
         api.CodecConfig(profile="nope")
 
 
-def test_rans16_chained_segments_roundtrip_matches_spec_size():
-    """Segment chaining (L > seg) round-trips and its stream content is
-    identical to a single-call encode of the same lanes (the chain only
-    re-partitions the region section; total region bytes must match)."""
+def test_rans16_long_lane_single_call_matches_spec():
+    """Long lanes (many tiles) run in ONE kernel invocation; the payload's
+    region stream must equal the NumPy spec's one-pass encode and the
+    per-tile sizes must partition it exactly at tile boundaries."""
     from range_coder_rust_tpu import rans, rans_codec
     from range_coder_rust_tpu.models.table import table_from_data_pow2
 
-    L, seg = 128, 64
+    L = 4 * rans_codec.TILE_STEPS
     data = _zipf(1024 * L, seed=9).reshape(1024, L)
     t = table_from_data_pow2(data, 256, 16)
 
-    payloads = rans_codec.encode_groups(data, t, L, seg=seg)
+    payloads = rans_codec.encode_groups(data, t, L)
     assert len(payloads) == 1
-    pre, regions = rans_codec._parse_payload(payloads[0], L, seg)
-    assert len(regions) == 2
+    sizes, pre6, region = rans_codec._parse_payload(payloads[0], L)
+    assert len(sizes) == 4
 
     # oracle: the NumPy spec over the full lanes in one pass
     states, sregions, counts = rans.encode_lanes(data, t.c, t.cum)
-    assert pre == states.astype("<u8").tobytes()
-    spec_regions = b"".join(
-        r.astype("<u2").tobytes() for r in sregions)
-    assert b"".join(regions) == spec_regions
-    # segment boundary: region 0 holds exactly the halfwords of steps < seg
-    assert len(regions[0]) == 2 * int(counts[:seg].sum())
+    x8 = np.zeros((1024, 8), np.uint8)
+    x8[:, :6] = np.frombuffer(pre6, np.uint8).reshape(1024, 6)
+    np.testing.assert_array_equal(x8.reshape(-1).view("<u8"), states)
+    spec_regions = b"".join(r.astype("<u2").tobytes() for r in sregions)
+    assert bytes(region) == spec_regions
+    # tile boundaries: sizes[t] = halfwords of steps [64t, 64t+64)
+    np.testing.assert_array_equal(
+        sizes, counts.reshape(4, 64).sum(axis=1))
 
-    rows = rans_codec.decode_groups(payloads, t.c, L, seg=seg)
+    rows = rans_codec.decode_groups(payloads, t.c, L)
     np.testing.assert_array_equal(rows, data)
 
 
