@@ -169,7 +169,7 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     """Device-resident pipeline timing, rans16 profile (tiled kernels)."""
     from range_coder_rust_tpu import format as fmt
     from range_coder_rust_tpu import rans_codec
-    from range_coder_rust_tpu.kernels.decode_pallas import prep_cum_vreg
+    from range_coder_rust_tpu.kernels.vreg import prep_cum_vreg
 
     G = rans_codec.G
     n = data.size

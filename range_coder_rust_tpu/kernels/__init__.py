@@ -1,25 +1,26 @@
-"""Pallas TPU kernels and their stream profile.
+"""Pallas TPU kernels for the rans16 profile.
 
-The planar profile (blocks.py) stores one byte stream per block — ideal for
-XLA, but a fast in-kernel decoder needs per-lane reads at data-dependent
-offsets, which TPU vector units can only do within one (8, 128) vreg
-(Mosaic's 2-D dynamic gathers).  The **interleaved profile** solves this:
-1024 lanes share one group stream laid out in *decode consumption order*,
-so every decode step reads one contiguous, uniformly-advancing window that
-fits the vreg-gather reach.  See kernels/interleave.py for the layout and
-kernels/decode_pallas.py for the kernel.
+The planar profile (blocks.py) stores one byte stream per block — ideal
+for XLA's scan machinery, but a fast in-kernel decoder needs per-lane
+reads at data-dependent offsets, which TPU vector units can only do
+within one (8, 128) vreg (Mosaic's 2-D dynamic gathers).  The **rans16
+profile** solves this: 1024 lanes share one group stream laid out in
+*decode consumption order* (the rANS encoder runs backward, so it writes
+that order directly — rans.py), and every decode step reads one
+contiguous, uniformly-advancing window that fits the vreg-gather reach.
+
+Modules: vreg.py (shared (8,128) primitives), compact_flat.py (in-kernel
+stream compaction), rans_encode.py / rans_decode.py (the tiled kernels).
 """
 
-from .interleave import (
-    GROUP_LANES,
-    interleave_emissions,
-    deinterleave_to_planar,
-    interleaved_stream_numpy,
-)
+from .rans_decode import rans_decode_tiled
+from .rans_encode import TILE_STEPS, rans_encode_tiled
+from .vreg import prep_cum_vreg, symbols_to_step_major
 
 __all__ = [
-    "GROUP_LANES",
-    "interleave_emissions",
-    "deinterleave_to_planar",
-    "interleaved_stream_numpy",
+    "TILE_STEPS",
+    "prep_cum_vreg",
+    "rans_decode_tiled",
+    "rans_encode_tiled",
+    "symbols_to_step_major",
 ]

@@ -20,7 +20,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .decode_pallas import _lane_prefix_flat
+from .vreg import _lane_prefix_flat
 
 _U32 = jnp.uint32
 _I32 = jnp.int32

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import u64 as u64ops
-from .decode_pallas import _bcast_rows, _lane_prefix_flat, _lookup_rows
+from .vreg import _bcast_rows, _lane_prefix_flat, _lookup_rows
 
 _U32 = jnp.uint32
 _I32 = jnp.int32

@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .compact_flat import compact_flat_packed, flat_roll_dyn_mosaic
-from .decode_pallas import _bcast_rows, _lookup_rows
+from .vreg import _bcast_rows, _lookup_rows
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -316,8 +316,13 @@ def pack_and_gather(exp: jax.Array, row_idx: jax.Array, *, rows_out: int):
     ``(NG*NT*rows_e/2, 128)`` selecting, in container order, the 256-
     halfword rows covering every tile's region (host-computed from the
     kernel's sizes; see rans_codec).  Returns (rows_out, 128) u32 words.
+
+    The halfword pairing uses lane-strided slices, NOT a trailing
+    ``(..., 2)`` reshape — a minor dimension of 2 pads to the 128-lane
+    tile on TPU (64x memory blowup; 17 GB at 64 MB corpus scale).
     """
     NG, NT, rows_e, _ = exp.shape
-    flat = exp.reshape(NG * NT * rows_e * 64, 2)
-    words = (flat[:, 0] | (flat[:, 1] << 16)).reshape(-1, 128)
+    flat = exp.reshape(NG * NT * rows_e, 128)
+    w64 = flat[:, 0::2] | (flat[:, 1::2] << 16)      # (R2, 64)
+    words = w64.reshape(NG * NT * rows_e // 2, 128)  # row pairs -> 128 words
     return jnp.take(words, row_idx, axis=0)

@@ -1,0 +1,108 @@
+"""Shared (8, 128)-vreg primitives for the Pallas kernels.
+
+Everything here is pure jnp over (8, 128)-shaped arrays — identical under
+``interpret=True`` (CPU tests) and Mosaic-compiled on hardware.  These are
+the building blocks the rans16 kernels (kernels/rans_*.py) and the
+compaction machinery (kernels/compact_flat.py) are written in.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_I32 = jnp.int32
+
+
+def _select_by(level_vals: List[jax.Array], sel: jax.Array) -> jax.Array:
+    """Binary select tree: pick level_vals[sel] per element (len power of 2)."""
+    vals = level_vals
+    bit = 0
+    while len(vals) > 1:
+        half = []
+        b = (sel >> bit) & 1
+        for i in range(0, len(vals), 2):
+            half.append(jnp.where(b == 1, vals[i + 1], vals[i]))
+        vals = half
+        bit += 1
+    return vals[0]
+
+
+def _lookup_rows(rows_bcast: List[jax.Array], idx: jax.Array) -> jax.Array:
+    """Per-lane lookup of flat ``idx`` in a table laid out as broadcast
+    rows: ``rows_bcast[r][..., s, :] == table_row_r`` for every sublane s.
+    idx in [0, 128 * len(rows_bcast)), any shape ending in (8, 128).  One
+    hardware lane-gather per row + a select tree."""
+    col = (idx & 127).astype(_I32)
+    shape = col.shape
+    col2 = col.reshape(-1, 128)  # Mosaic supports 2-D gathers only
+    gathered = [
+        jnp.take_along_axis(
+            jnp.broadcast_to(r, (col2.shape[0] // 8, 8, 128)).reshape(-1, 128),
+            col2,
+            axis=-1,
+        ).reshape(shape)
+        for r in rows_bcast
+    ]
+    return _select_by(gathered, (idx >> 7).astype(_I32))
+
+
+def _bcast_rows(tile: jax.Array) -> List[jax.Array]:
+    """(R, 128) -> list of R (8, 128) sublane-broadcast vregs."""
+    return [
+        jnp.broadcast_to(tile[r : r + 1, :], (8, 128)) for r in range(tile.shape[0])
+    ]
+
+
+def _lane_prefix_flat(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Exclusive prefix sum of (8, 128) in flat (sublane-major) lane order,
+    plus the total (scalar).
+
+    Implemented as two triangular-ones MXU contractions instead of
+    log-step pad/slice shifts — Mosaic rejects sublane-dim concat/pad with
+    offset mismatches, and the matmuls are exact in f32 (values are
+    counts <= 14 * 1024 < 2^24).
+    """
+    nf = n.astype(jnp.float32)
+    # within-row inclusive prefix: inc[s, l] = sum_{l' <= l} n[s, l']
+    iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    jota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    upper = (iota <= jota).astype(jnp.float32)  # U[l', l] = l' <= l
+    inc = jax.lax.dot(nf, upper, precision=jax.lax.Precision.HIGHEST)
+    # rows strictly above: row_excl[s] = sum_{s' < s} sum_l n[s', l]
+    rows = jax.lax.dot(
+        nf, jnp.ones((128, 128), jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # rows[s, l] = row total of s, broadcast over l
+    si = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+    lstrict = (si > sj).astype(jnp.float32)  # L[s, s'] = s' < s
+    row_excl = jax.lax.dot(lstrict, rows, precision=jax.lax.Precision.HIGHEST)
+    excl = (inc - nf + row_excl).astype(jnp.int32)
+    total = jnp.sum(n)
+    return excl, total
+
+
+def prep_cum_vreg(cum: np.ndarray) -> np.ndarray:
+    """Lay a (A+1,) cum table out as the (8, 128) vreg the kernels expect,
+    padded with a sentinel larger than any slot value (so searches never
+    select a padding entry).  Alphabets up to 1023 symbols fit one vreg."""
+    if cum.shape[0] > 1024:
+        raise ValueError(f"alphabet {cum.shape[0] - 1} exceeds 1023 symbols")
+    flat = np.full(1024, 0x7FFFFFFF, np.uint32)
+    flat[: cum.shape[0]] = cum
+    return flat.reshape(8, 128)
+
+
+def symbols_to_step_major(symbols: jax.Array, *, group_lanes: int = 1024
+                          ) -> jax.Array:
+    """(B, L) lane-major symbols -> (NG, L*8, 128) step-major tiles."""
+    B, L = symbols.shape
+    if B % group_lanes:
+        raise ValueError(f"B={B} not a multiple of {group_lanes}")
+    NG = B // group_lanes
+    s = symbols.reshape(NG, 8, 128, L).astype(_I32)
+    return jnp.transpose(s, (0, 3, 1, 2)).reshape(NG, L * 8, 128)

@@ -48,8 +48,7 @@ import numpy as np
 from . import format as fmt
 from . import rans
 from .errors import ConfigError, InvalidHeader
-from .kernels.decode_pallas import prep_cum_vreg
-from .kernels.encode_pallas import symbols_to_step_major
+from .kernels.vreg import prep_cum_vreg, symbols_to_step_major
 from .kernels.rans_decode import rans_decode_tiled
 from .kernels.rans_encode import TILE_STEPS, pack_and_gather, rans_encode_tiled
 from .models.table import Pow2Table

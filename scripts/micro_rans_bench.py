@@ -37,8 +37,8 @@ def main():
     import numpy as np
 
     from range_coder_rust_tpu import rans_codec
-    from range_coder_rust_tpu.kernels.decode_pallas import prep_cum_vreg
-    from range_coder_rust_tpu.kernels.encode_pallas import symbols_to_step_major
+    from range_coder_rust_tpu.kernels.vreg import (
+        prep_cum_vreg, symbols_to_step_major)
     from range_coder_rust_tpu.kernels.rans_decode import rans_decode_tiled
     from range_coder_rust_tpu.kernels.rans_encode import (
         pack_and_gather, rans_encode_tiled)
