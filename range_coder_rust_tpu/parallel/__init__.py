@@ -9,6 +9,7 @@ from .dist import (
     block_sharding,
     default_mesh,
     make_sharded_codec,
+    make_sharded_rans16,
     replicated,
 )
 from . import multihost
@@ -18,5 +19,6 @@ __all__ = [
     "block_sharding",
     "replicated",
     "make_sharded_codec",
+    "make_sharded_rans16",
     "multihost",
 ]

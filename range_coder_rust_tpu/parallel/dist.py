@@ -76,3 +76,60 @@ def make_sharded_codec(
         out_shardings=shard_b,
     )
     return enc, dec
+
+
+def make_sharded_rans16(
+    mesh: Mesh, *, block_len: int, a_count: int
+) -> Tuple[Callable, Callable]:
+    """Mesh-sharded rans16 kernels: groups are the data-parallel axis.
+
+    Groups are fully independent coder units (exactly like planar blocks),
+    so the partitioning is communication-free; the Pallas kernels run
+    per-shard under ``shard_map`` (XLA's GSPMD cannot split a pallas_call
+    by itself).  Outputs are bit-identical to the single-device kernels —
+    container assembly downstream is unchanged, which is what makes the
+    sharded container byte-identical (tests/test_parallel.py).
+
+    encode(rows (NG*1024, L) any-int, cum_vreg (8,128) u32)
+      -> (pre (NG,16,128) u32, exp (NG,NT,rows_e,128) u32, sizes (NG,NT))
+    decode(padded (NG,NT,rpad,128) u32, starts (NG,NT) i32,
+           pre (NG,16,128) u32, cum_vreg) -> (NG, 1024, L) i32
+
+    ``NG`` must be a multiple of the mesh size.
+    """
+    import jax.numpy as jnp
+
+    from ..kernels.rans_decode import rans_decode_tiled
+    from ..kernels.rans_encode import rans_encode_tiled
+    from ..kernels.vreg import symbols_to_step_major
+
+    P = jax.sharding.PartitionSpec
+    interp = jax.default_backend() != "tpu"
+
+    def enc_local(rows, cum_vreg):
+        sym = symbols_to_step_major(rows.astype(jnp.int32))
+        return rans_encode_tiled(
+            sym, cum_vreg, block_len=block_len, a_count=a_count,
+            interpret=interp)
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axis
+    # metadata, and the kernels touch no collectives anyway
+    enc = jax.jit(jax.shard_map(
+        enc_local, mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False,
+    ))
+
+    def dec_local(padded, starts, pre, cum_vreg):
+        return rans_decode_tiled(
+            padded, starts, pre, cum_vreg, block_len=block_len,
+            a_count=a_count, interpret=interp)
+
+    dec = jax.jit(jax.shard_map(
+        dec_local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=P(AXIS),
+        check_vma=False,
+    ))
+    return enc, dec

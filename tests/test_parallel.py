@@ -66,3 +66,77 @@ def test_sharded_outputs_are_distributed():
     # decode result equals input even through the distributed layout
     dec = decode_blocks(code, jnp.asarray(t.c), jnp.asarray(t.cum), k=k, block_len=L)
     assert np.array_equal(np.asarray(dec), data)
+
+
+def test_sharded_rans16_matches_single_device():
+    """rans16 kernels under shard_map over the 8-device group axis must be
+    bit-identical to the single-device kernels (=> byte-identical
+    containers); decode must invert them (round-3 verdict item 6)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from range_coder_rust_tpu import rans_codec
+    from range_coder_rust_tpu.kernels.vreg import prep_cum_vreg
+    from range_coder_rust_tpu.models.table import table_from_data_pow2
+    from range_coder_rust_tpu.parallel import (
+        block_sharding, default_mesh, make_sharded_rans16, replicated)
+
+    n_dev = 8
+    mesh = default_mesh(jax.devices()[:n_dev])
+    G, L = 1024, 64
+    NG = n_dev  # one group per device
+    rng = np.random.default_rng(17)
+    data = rng.integers(0, 200, size=(NG * G, L)).astype(np.int32)
+    t = table_from_data_pow2(data, 256, 16)
+    cum_vreg = jnp.asarray(prep_cum_vreg(t.cum))
+
+    enc, dec = make_sharded_rans16(mesh, block_len=L, a_count=256)
+    rows_sh = jax.device_put(jnp.asarray(data), block_sharding(mesh))
+    cum_sh = jax.device_put(cum_vreg, replicated(mesh))
+    pre, exp, sizes = enc(rows_sh, cum_sh)
+
+    # bit-parity vs the single-device pipeline
+    pre1, exp1, sizes1 = rans_codec._encode_device(
+        jnp.asarray(data), cum_vreg, block_len=L, a_count=256,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(sizes), np.asarray(sizes1))
+    np.testing.assert_array_equal(np.asarray(pre), np.asarray(pre1))
+    np.testing.assert_array_equal(np.asarray(exp), np.asarray(exp1))
+
+    # container byte-parity via the unchanged assembly, then sharded decode
+    payloads = rans_codec.encode_groups(data, t, L)
+    parsed = [rans_codec._parse_payload(p, L) for p in payloads]
+    sizes_np = np.stack([s for s, _, _ in parsed])
+    region = b"".join(bytes(r) for _, _, r in parsed)
+    flat_sz = sizes_np.reshape(-1)
+    H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
+    a_row = (H >> 8).astype(np.int64)
+    b_row = (H + flat_sz + 255) >> 8
+    rpad = -(-(int((b_row - a_row).max(initial=1)) + 8) // 16) * 16
+    R = -(-max(len(region) // 512, 1) // 8) * 8
+    ridx = np.minimum(a_row[:, None] + np.arange(rpad)[None, :],
+                      max(R - 1, 0)).astype(np.int32).reshape(-1)
+    buf = np.zeros(R * 512, np.uint8)
+    buf[: len(region)] = np.frombuffer(region, np.uint8)
+    padded = np.asarray(rans_codec._pad_stream(
+        jnp.asarray(buf.view("<u4").reshape(R, 128)), jnp.asarray(ridx),
+        ng=NG, nt=sizes_np.shape[1], rpad=rpad))
+    starts = (H & 255).astype(np.int32).reshape(NG, -1)
+    pre8 = np.zeros((NG, G, 8), np.uint8)
+    for g, (_, p6, _) in enumerate(parsed):
+        pre8[g, :, :6] = np.frombuffer(p6, np.uint8).reshape(G, 6)
+    x = pre8.reshape(NG, G * 8).view("<u8")
+    words = np.empty((NG, 2 * G), np.uint32)
+    words[:, 0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
+    words[:, 1::2] = (x >> 32).astype(np.uint32)
+
+    sh = block_sharding(mesh)
+    out = dec(
+        jax.device_put(jnp.asarray(padded), sh),
+        jax.device_put(jnp.asarray(starts), sh),
+        jax.device_put(jnp.asarray(words.reshape(NG, 16, 128)), sh),
+        cum_sh,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(NG * G, L), data)
