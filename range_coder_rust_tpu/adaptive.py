@@ -187,7 +187,12 @@ def encode_adaptive(
 
 def decode_adaptive(blob: bytes, *, verify_checksums: bool = True) -> np.ndarray:
     """Decode a per-block-tables container."""
-    cont = fmt.unpack(blob, verify_checksums=verify_checksums)
+    return decode_adaptive_container(
+        fmt.unpack(blob, verify_checksums=verify_checksums))
+
+
+def decode_adaptive_container(cont: fmt.Container) -> np.ndarray:
+    """Decode an already-parsed per-block-tables container."""
     if not cont.per_block_tables:
         raise ConfigError("container has a shared table; use api.decode")
     b, L, n = cont.n_blocks, cont.block_len, cont.n_symbols

@@ -236,13 +236,62 @@ def decode(blob: bytes, *, verify_checksums: bool = True) -> np.ndarray:
     TruncatedStream semantics become zero-padded windows caught by CRC) —
     the reference panics in these situations (src/decoder.rs:33).
     """
-    cont = fmt.unpack(blob, verify_checksums=verify_checksums)
+    return _decode_container(fmt.unpack(blob, verify_checksums=verify_checksums))
+
+
+def decode_range(
+    blob: bytes, start: int, count: int, *, verify_checksums: bool = True
+) -> np.ndarray:
+    """Decode only symbols ``[start, start + count)`` of a container.
+
+    Touches (and CRC-verifies) only the covering independent units —
+    planar/adaptive blocks of ``block_len`` symbols, or rans16 groups of
+    ``group_lanes * block_len`` symbols — realizing the per-block
+    independence the container records (SURVEY.md §5 checkpoint/resume:
+    any block is decodable in isolation).  The rest of the container is
+    parsed (headers, lengths) but its payloads are never decoded.
+    """
+    import zlib
+
+    cont = fmt.unpack(blob, verify_checksums=False)
+    n = cont.n_symbols
+    if start < 0 or count < 0 or start + count > n:
+        raise ConfigError(
+            f"range [{start}, {start + count}) outside [0, {n})")
+    span = cont.block_len * (cont.group_lanes or 1)
+    b0 = start // span
+    b1 = max(b0 + 1, -(-(start + count) // span)) if count else b0 + 1
+    if verify_checksums and cont.checksums is not None:
+        for i in range(b0, b1):
+            actual = zlib.crc32(cont.payloads[i])
+            if actual != int(cont.checksums[i]):
+                from .errors import ChecksumMismatch
+
+                raise ChecksumMismatch(i, int(cont.checksums[i]), actual)
+    sub = dataclasses.replace(
+        cont,
+        lengths=cont.lengths[b0:b1],
+        payloads=cont.payloads[b0:b1],
+        checksums=None,
+        tables_c=(cont.tables_c[b0:b1] if cont.per_block_tables
+                  else cont.tables_c),
+        n_symbols=min(n, b1 * span) - b0 * span,
+    )
+    out = _decode_container(sub)
+    lo = start - b0 * span
+    return out[lo : lo + count]
+
+
+def _decode_container(cont: fmt.Container) -> np.ndarray:
+    """Profile dispatch for an already-parsed container."""
     if cont.profile == "rans16":
         from . import rans_codec
 
         return rans_codec.decode(cont)
     if cont.per_block_tables:
-        raise NotImplementedError("per-block adaptive containers: see adaptive.py")
+        from .adaptive import decode_adaptive_container
+
+        return decode_adaptive_container(cont)
     if cont.k == 0:  # raw-total container (FLAG_RAW_TOTAL)
         return _decode_raw(cont)
     b = cont.n_blocks
