@@ -63,24 +63,29 @@ def _lane_prefix_flat(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
     Implemented as two triangular-ones MXU contractions instead of
     log-step pad/slice shifts — Mosaic rejects sublane-dim concat/pad with
-    offset mismatches, and the matmuls are exact in f32 (values are
-    counts <= 14 * 1024 < 2^24).
+    offset mismatches.  Exactness: ``n`` is a 0/1 flag vector in every
+    rans16 use (one potential emission/refill per lane per step), the
+    triangular/ones operands are 0/1 constants — both exact in bfloat16 —
+    and accumulation is f32 (integers up to 2^24 exact), so a single
+    bf16 MXU pass (Precision.DEFAULT) computes exact counts; HIGHEST
+    would burn 3-6 passes for nothing.
     """
     nf = n.astype(jnp.float32)
     # within-row inclusive prefix: inc[s, l] = sum_{l' <= l} n[s, l']
     iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     jota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     upper = (iota <= jota).astype(jnp.float32)  # U[l', l] = l' <= l
-    inc = jax.lax.dot(nf, upper, precision=jax.lax.Precision.HIGHEST)
+    inc = jax.lax.dot(nf, upper, preferred_element_type=jnp.float32)
     # rows strictly above: row_excl[s] = sum_{s' < s} sum_l n[s', l]
     rows = jax.lax.dot(
         nf, jnp.ones((128, 128), jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )  # rows[s, l] = row total of s, broadcast over l
     si = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
     sj = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
     lstrict = (si > sj).astype(jnp.float32)  # L[s, s'] = s' < s
-    row_excl = jax.lax.dot(lstrict, rows, precision=jax.lax.Precision.HIGHEST)
+    row_excl = jax.lax.dot(
+        lstrict, rows, preferred_element_type=jnp.float32)
     excl = (inc - nf + row_excl).astype(jnp.int32)
     total = jnp.sum(n)
     return excl, total

@@ -70,6 +70,22 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _tracer():
+    """Stage-timestamp logger, enabled by RC_TRACE=1 (perf forensics)."""
+    import os
+    import sys
+    import time
+
+    if not os.environ.get("RC_TRACE"):
+        return lambda _msg: None
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[rc {time.time() - t0:7.2f}s] {msg}", file=sys.stderr,
+              flush=True)
+    return log
+
+
 @functools.partial(jax.jit, static_argnames=("block_len", "a_count", "interpret"))
 def _encode_device(rows, cum_vreg, *, block_len, a_count, interpret):
     """(B, L) symbol rows (any int dtype) -> (pre, exp, sizes)."""
@@ -84,6 +100,20 @@ def _pad_stream(stream_rows, idx, *, ng, nt, rpad):
     """(R, 128) stream rows + (ng*nt*rpad,) row indices -> per-tile
     padded windows (ng, nt, rpad, 128)."""
     return jnp.take(stream_rows, idx, axis=0).reshape(ng, nt, rpad, 128)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ng", "nt", "rpad", "block_len", "a_count", "out_dtype", "interpret"))
+def _decode_fused(stream_rows, idx, starts, pre, cum_vreg, *, ng, nt, rpad,
+                  block_len, a_count, out_dtype, interpret):
+    """One dispatch for the whole device decode chain: pad gather ->
+    tiled kernel -> narrow-dtype flatten (each tunnel dispatch costs
+    tens of ms of latency here — fusing them matters)."""
+    padded = jnp.take(stream_rows, idx, axis=0).reshape(ng, nt, rpad, 128)
+    sym = rans_decode_tiled(
+        padded, starts, pre, cum_vreg, block_len=block_len,
+        a_count=a_count, interpret=interpret)
+    return sym.reshape(ng * G * block_len).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
@@ -124,15 +154,20 @@ def encode_groups(
     interp = _interpret()
 
     gpc = max(1, _BATCH_SYMBOLS // (G * L))
+    trace = _tracer()
     payloads: List[bytes] = []
     for start in range(0, NG, gpc):
         stop = min(start + gpc, NG)
         nb = stop - start
+        trace(f"enc batch {start}: H2D dispatch")
         chunk = jnp.asarray(symbols[start * G : stop * G])
         pre, exp, sizes = _encode_device(
             chunk, cum_vreg, block_len=L, a_count=a_count, interpret=interp)
+        trace("kernel dispatched; fetching sizes")
         sizes_np = np.asarray(sizes)          # (nb, NT) buffer order
+        trace("sizes fetched; fetching preamble")
         pre_np = np.asarray(pre)              # (nb, 16, 128) u32
+        trace("preamble fetched")
 
         # tile k of the exp buffer holds TIME-tile NT-1-k
         s_time = sizes_np[:, ::-1]            # (nb, NT) halfwords, time order
@@ -150,8 +185,10 @@ def encode_groups(
         rows_out = -(-max(total, 1) // _ROWS_BUCKET) * _ROWS_BUCKET
         row_idx = np.pad(row_idx, (0, rows_out - total))
 
+        trace(f"row idx built ({total} rows); pack+gather dispatch")
         words = pack_and_gather(exp, jnp.asarray(row_idx), rows_out=rows_out)
         flat_hw = np.asarray(words).reshape(-1).view("<u2")[: total * 256]
+        trace("compact stream fetched")
 
         # drop each tile's sub-row junk prefix ((cap - s) & 255 halfwords)
         junk = ((cap - s_time) & 255).reshape(-1)
@@ -161,6 +198,7 @@ def encode_groups(
             if j:
                 keep[a : a + j] = False
         region_hw = flat_hw[keep]
+        trace("junk mask applied")
 
         # 48-bit preamble: LE u64 per lane (words 2l lo / 2l+1 hi), top
         # 2 bytes always zero (states < 2^48)
@@ -178,6 +216,7 @@ def encode_groups(
                 + pre6
                 + region_hw[bounds[g] : bounds[g + 1]].tobytes()
             )
+        trace("payloads assembled")
     return payloads
 
 
@@ -229,10 +268,12 @@ def _decode_batch(
     tile, NT = _tile_geometry(block_len)
     interp = _interpret()
 
+    trace = _tracer()
     parsed = [_parse_payload(p, block_len) for p in payloads]
     sizes = np.stack([s for s, _, _ in parsed])            # (NG, NT)
     region = b"".join(bytes(r) for _, _, r in parsed)
     stream_hw = np.frombuffer(region, "<u2")
+    trace(f"dec batch parsed ({len(region)} region bytes)")
 
     # per-tile global halfword offsets + covering rows
     flat_sz = sizes.reshape(-1)
@@ -261,14 +302,14 @@ def _decode_batch(
     words[:, 1::2] = (x >> 32).astype(np.uint32)
     pre = jnp.asarray(words.reshape(NG, 16, 128))
 
-    padded = _pad_stream(
-        stream_rows, jnp.asarray(ridx), ng=NG, nt=NT, rpad=rpad)
-    sym = rans_decode_tiled(
-        padded, jnp.asarray(starts), pre, cum_vreg,
-        block_len=block_len, a_count=a_count, interpret=interp)
     out_dtype = (jnp.uint8 if a_count <= 256
                  else jnp.uint16 if a_count <= 65536 else jnp.int32)
-    flat = np.asarray(_finalize(sym, out_dtype=out_dtype))
+    trace("uploads staged; decode dispatch")
+    flat = np.asarray(_decode_fused(
+        stream_rows, jnp.asarray(ridx), jnp.asarray(starts), pre, cum_vreg,
+        ng=NG, nt=NT, rpad=rpad, block_len=block_len, a_count=a_count,
+        out_dtype=out_dtype, interpret=interp))
+    trace("decoded symbols fetched")
     return flat.astype(np.int32).reshape(NG * G, block_len)
 
 
