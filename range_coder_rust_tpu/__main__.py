@@ -6,8 +6,9 @@ compression, inspection, and benchmarking (SURVEY.md §5 config/bench
 tooling).
 
 Commands:
-  encode   FILE -o OUT [--k K] [--block-len L] [--adaptive] [--no-checksums]
-  decode   FILE -o OUT [--no-verify]
+  encode   FILE -o OUT [--profile rans16|planar] [--k K] [--block-len L]
+           [--adaptive] [--raw-total] [--no-checksums]
+  decode   FILE -o OUT [--no-verify] [--start S --count N]
   inspect  FILE              # print container header/geometry/ratios
   bench    [--mb N] [--k K]  # delegates to bench.py's harness
   selftest                   # reference-parity round-trip (sample_impl)
@@ -45,6 +46,8 @@ def _cmd_encode(args) -> int:
             config=CodecConfig(
                 k=args.k,
                 block_len=args.block_len,
+                profile=args.profile,
+                raw_total=args.raw_total,
                 with_checksums=not args.no_checksums,
             ),
         )
@@ -66,10 +69,11 @@ def _cmd_decode(args) -> int:
 
     cont = fmt.unpack(blob, verify_checksums=False)
     t0 = time.time()
-    if cont.per_block_tables:
-        from .adaptive import decode_adaptive
+    if args.count is not None:
+        from .api import decode_range
 
-        out = decode_adaptive(blob, verify_checksums=not args.no_verify)
+        out = decode_range(blob, args.start, args.count,
+                           verify_checksums=not args.no_verify)
     else:
         from .api import decode
 
@@ -93,6 +97,8 @@ def _cmd_inspect(args) -> int:
         "block_len": cont.block_len,
         "n_symbols": cont.n_symbols,
         "n_blocks": cont.n_blocks,
+        "profile": cont.profile,
+        "group_lanes": cont.group_lanes,
         "per_block_tables": cont.per_block_tables,
         "checksums": cont.checksums is not None,
         "payload_bytes": payload,
@@ -147,7 +153,15 @@ def main(argv=None) -> int:
     pe.add_argument("file")
     pe.add_argument("-o", "--output", required=True)
     pe.add_argument("--k", type=int, default=16)
-    pe.add_argument("--block-len", type=int, default=512)
+    pe.add_argument("--block-len", type=int, default=None,
+                    help="symbols per block/lane (default: per-profile)")
+    pe.add_argument("--profile", choices=["rans16", "planar"],
+                    default="rans16",
+                    help="rans16 = TPU-fast interleaved rANS (default); "
+                         "planar = byte-exact reference-semantics streams")
+    pe.add_argument("--raw-total", action="store_true",
+                    help="raw-histogram table (arbitrary u32 total), "
+                         "planar only")
     pe.add_argument("--adaptive", action="store_true", help="per-block tables")
     pe.add_argument("--no-checksums", action="store_true")
     pe.set_defaults(fn=_cmd_encode)
@@ -156,6 +170,11 @@ def main(argv=None) -> int:
     pd.add_argument("file")
     pd.add_argument("-o", "--output", required=True)
     pd.add_argument("--no-verify", action="store_true", help="skip CRC checks")
+    pd.add_argument("--start", type=int, default=0,
+                    help="with --count: first symbol of the range")
+    pd.add_argument("--count", type=int, default=None,
+                    help="decode only [start, start+count) — touches only "
+                         "the covering blocks/groups")
     pd.set_defaults(fn=_cmd_decode)
 
     pi = sub.add_parser("inspect", help="print container metadata")

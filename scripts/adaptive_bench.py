@@ -3,7 +3,7 @@
 Corpus: concatenated segments with distinct distributions (text-like Zipf,
 near-uniform binary, skewed runs), where per-block tables beat any shared
 table.  Times the device two-pass path (adaptive.py) and compares rate
-with the shared-table planar path.  Writes ADAPTIVE_r02.json.
+with the shared-table planar path.  Writes ADAPTIVE_r03.json.
 
 Usage: python scripts/adaptive_bench.py   (env: RC_ADAPT_MB, default 64)
 """
@@ -132,7 +132,7 @@ def main():
     log(f"adaptive {gbps:.3f} GB/s; {adaptive_bits:.4f} bits/sym vs shared-"
         f"table entropy bound {shared_bits:.4f}")
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "ADAPTIVE_r02.json")
+        os.path.abspath(__file__))), "ADAPTIVE_r03.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

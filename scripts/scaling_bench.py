@@ -13,7 +13,7 @@ number; the meaningful quantities are
 * the communication structure: the hot loop has NO collectives by design
   (parallel/dist.py) — partitioning is along the independent block axis.
 
-Writes SCALING_r02.json.  Usage: python scripts/scaling_bench.py
+Writes SCALING_r03.json.  Usage: python scripts/scaling_bench.py
 """
 
 from __future__ import annotations
@@ -102,7 +102,7 @@ def main():
         "blocks_per_device": bpd,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_r02.json")
+        os.path.abspath(__file__))), "SCALING_r03.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
