@@ -165,6 +165,46 @@ def main() -> None:
     }))
 
 
+def _cold_compile_s(jax, jnp, rans_codec, L, NT):
+    """True cold-compile seconds for the three rans16 programs: point the
+    compilation cache at a fresh dir and time .lower().compile() (no
+    execution — first-execution timings here conflate multi-minute tunnel
+    recovery with compilation)."""
+    import tempfile
+
+    old = jax.config.jax_compilation_cache_dir
+    tmp = tempfile.mkdtemp(prefix="jaxcache_cold_")
+    jax.config.update("jax_compilation_cache_dir", tmp)
+    try:
+        from range_coder_rust_tpu.kernels.rans_encode import pack_and_gather
+
+        ng = 1
+        rows = jax.ShapeDtypeStruct((ng * 1024, L), jnp.uint8)
+        cum = jax.ShapeDtypeStruct((8, 128), jnp.uint32)
+        t0 = time.time()
+        rans_codec._encode_device.lower(
+            rows, cum, block_len=L, a_count=256, interpret=False).compile()
+        enc_s = time.time() - t0
+        exp = jax.ShapeDtypeStruct((ng, NT, 528, 128), jnp.uint32)
+        ridx = jax.ShapeDtypeStruct((90112,), jnp.int32)
+        t0 = time.time()
+        pack_and_gather.lower(exp, ridx, rows_out=90112).compile()
+        pack_s = time.time() - t0
+        sr = jax.ShapeDtypeStruct((90112, 128), jnp.uint32)
+        didx = jax.ShapeDtypeStruct((ng * NT * 96,), jnp.int32)
+        st = jax.ShapeDtypeStruct((ng, NT), jnp.int32)
+        pre = jax.ShapeDtypeStruct((ng, 16, 128), jnp.uint32)
+        t0 = time.time()
+        rans_codec._decode_fused.lower(
+            sr, didx, st, pre, cum, ng=ng, nt=NT, rpad=96, block_len=L,
+            a_count=256, out_dtype=jnp.uint8, interpret=False).compile()
+        dec_s = time.time() - t0
+        return {"encode_s": round(enc_s, 1), "pack_s": round(pack_s, 1),
+                "decode_s": round(dec_s, 1)}
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+
+
 def _enc_row_idx(sizes_np, nb, NT, tile, rans_codec):
     """Compaction row-index from the kernel's per-tile sizes (numpy,
     mirrors rans_codec.encode_groups)."""
@@ -272,6 +312,9 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     log(f"rans16 decode compile+first (full decode_groups): {dec_compile:.1f}s")
     assert np.array_equal(got, rows.astype(np.int32)), "round trip failed"
 
+    cold = _cold_compile_s(jax, jnp, rans_codec, L, NT)
+    log(f"cold compile (fresh cache, lower+compile only): {cold}")
+
     block = jax.block_until_ready
     enc_t = timed_best(
         lambda: [enc_fused(c, ri, ro)
@@ -326,6 +369,7 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     return enc_t * scale, dec_t * scale, cont_bits, {
         "encode_first_s": round(enc_compile, 1),
         "decode_first_s": round(dec_compile, 1),
+        "cold_compile": cold,
     }
 
 

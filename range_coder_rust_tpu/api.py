@@ -125,6 +125,19 @@ def encode(
     if config.raw_total:
         return _encode_raw(symbols, a, config)
 
+    if config.profile == "rans16" and table is None:
+        # the rans16 path builds the table on device from the uploaded
+        # data (np.bincount costs seconds at GB scale on this host class)
+        from . import rans_codec
+
+        return rans_codec.encode(
+            symbols,
+            alphabet=a,
+            table=None,
+            block_len=L,
+            with_checksums=config.with_checksums,
+        )
+
     if table is None:
         counts = np.bincount(symbols, minlength=a).astype(np.uint64)
         if n == 0:

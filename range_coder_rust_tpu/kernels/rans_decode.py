@@ -98,10 +98,16 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
     def body(t, carry):
         xhi, xlo, ch = carry
 
-        # 1-2. slot + symbol search (largest s with cum[s] <= slot).  The
-        # first two probe positions are data-independent (a_count/2, then
-        # a_count/4 or 3a_count/4), so they compare against broadcast
-        # scalars instead of gathering.
+        # 1-2. slot + symbol search (largest s with cum[s] <= slot).
+        # PACKED PATH (a_count <= 256), latency-oriented: the step is
+        # bound by the SEQUENTIAL probe chain (measured ~6 ms/probe at
+        # 64 MB), so after two data-independent scalar probes and two
+        # gather probes (interval width 16) the remaining FOUR levels
+        # collapse into ONE parallel round: 9 independent word-gathers
+        # fetch c1[m] = cum[m+1]-1 for every m the interval can touch,
+        # the symbol is counted directly (idx = lo + #{m in [lo, lo+15):
+        # slot > c1[m]}, exact by monotonicity of c1), and cum/c come
+        # from the same fetched words — no separate per-symbol lookup.
         slot = xlo & _U32(0xFFFF)
         lo = jnp.zeros((8, 128), _I32)
         hi = jnp.full((8, 128), a_count, _I32)
@@ -117,30 +123,83 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
             lo = jnp.where(go, mid, lo)
             hi = jnp.where(go, hi, mid)
             it = 2
-        for _ in range(it, search_iters):
-            mid = (lo + hi) >> 1
-            if packed:
-                # cum[mid] <= slot  <=>  slot > cum[mid]-1 (= packed j=mid-1)
+        if packed and search_iters == 8:
+            for _ in range(2):  # two more probe levels: width 16
+                mid = (lo + hi) >> 1
                 jm = jnp.maximum(mid - 1, 0)
                 word = _lookup_rows(srow, jm >> 1)
                 v = jnp.where((jm & 1) == 1, word >> _U32(16), word)
                 go = (slot > (v & _U32(0xFFFF))) | (mid == 0)
-            else:
-                go = _lookup_rows(cum_rows, mid) <= slot
-            lo = jnp.where(go, mid, lo)
-            hi = jnp.where(go, hi, mid)
-        idx = lo
-        if packed:
-            # zero-frequency repair: slot == 0 with leading absent symbols
-            # misroutes to 0 under the saturated probe (aux_from_cum_flat);
-            # the true symbol index is always >= j0 = probe_ref[3]
+                lo = jnp.where(go, mid, lo)
+                hi = jnp.where(go, hi, mid)
+            # final parallel round over m in [lo, lo+15): words
+            # (lo>>1)-? .. (lo>>1)+7 cover m and the cum/c extraction
+            base_w = lo >> 1
+            # 10 words cover c1[m] for the count window AND c1[idx-1..idx]
+            # extraction: with lo odd, idx = lo+15 lands in word base_w+8
+            words = [
+                _lookup_rows(srow, jnp.maximum(base_w + k - 1, 0))
+                for k in range(10)
+            ]  # independent gathers: k-1 in [-1, 9)
+            cnt = jnp.zeros((8, 128), _I32)
+            for k in range(10):
+                wk = words[k]
+                m0 = ((base_w + k - 1) << 1)
+                for par, c1v in ((0, wk & _U32(0xFFFF)),
+                                 (1, wk >> _U32(16))):
+                    m = m0 + par
+                    ok = jnp.logical_and(
+                        jnp.logical_and(m >= lo, m < lo + 15),
+                        slot > c1v)
+                    cnt = cnt + ok.astype(_I32)
+            idx = lo + cnt
+            # zero-frequency repair: slot == 0 with leading absent
+            # symbols misroutes under the saturated probe
+            # (aux_from_cum_flat); true symbol index >= j0 = probe_ref[3]
             idx = jnp.maximum(idx, probe_ref[3].astype(_I32))
-            w2 = _lookup_rows(w2_rows, idx)
-            cum_s = w2 & _U32(0xFFFF)
-            cc = (w2 >> _U32(16)) + _U32(1)
+            # cum[idx] = c1[idx-1]+1 (0 when idx <= j0, where cum==0);
+            # cum[idx+1] = c1[idx]+1 (always >= 1, so exact): both words
+            # are among the 9 fetched — select by (idx>>1) - base_w + 1
+            sel = (idx >> 1) - base_w + 1  # in [1, 9]
+            wsel = words[9]
+            for k in range(8, 0, -1):
+                wsel = jnp.where(sel == k, words[k], wsel)
+            c1_even = wsel & _U32(0xFFFF)
+            c1_odd = wsel >> _U32(16)
+            odd = (idx & 1) == 1
+            # c1[idx-1]: same word's low half when idx is odd; the high
+            # half of the word BELOW when idx is even (idx == 0 never
+            # reads it — covered by the idx <= j0 rule)
+            wsel_m = words[0]
+            for k in range(9, 0, -1):
+                wsel_m = jnp.where(sel == k, words[k - 1], wsel_m)
+            c1_im1 = jnp.where(odd, c1_even, wsel_m >> _U32(16))
+            c1_i = jnp.where(odd, c1_odd, c1_even)     # c1[idx]
+            cum_s = jnp.where(idx <= probe_ref[3].astype(_I32),
+                              _U32(0), c1_im1 + _U32(1))
+            cc = (c1_i + _U32(1)) - cum_s
         else:
-            cum_s = _lookup_rows(cum_rows, idx)
-            cc = _lookup_rows(cum_rows, idx + 1) - cum_s
+            for _ in range(it, search_iters):
+                mid = (lo + hi) >> 1
+                if packed:
+                    # cum[mid] <= slot <=> slot > cum[mid]-1 (packed j)
+                    jm = jnp.maximum(mid - 1, 0)
+                    word = _lookup_rows(srow, jm >> 1)
+                    v = jnp.where((jm & 1) == 1, word >> _U32(16), word)
+                    go = (slot > (v & _U32(0xFFFF))) | (mid == 0)
+                else:
+                    go = _lookup_rows(cum_rows, mid) <= slot
+                lo = jnp.where(go, mid, lo)
+                hi = jnp.where(go, hi, mid)
+            idx = lo
+            if packed:
+                idx = jnp.maximum(idx, probe_ref[3].astype(_I32))
+                w2 = _lookup_rows(w2_rows, idx)
+                cum_s = w2 & _U32(0xFFFF)
+                cc = (w2 >> _U32(16)) + _U32(1)
+            else:
+                cum_s = _lookup_rows(cum_rows, idx)
+                cc = _lookup_rows(cum_rows, idx + 1) - cum_s
 
         # 3. x = c * (x >> 16) + (slot - cum)  (x < 2^48 => x>>16 fits u32)
         q = (xlo >> _U32(16)) | (xhi << _U32(16))
@@ -268,7 +327,11 @@ def aux_from_cum_flat(flat: jax.Array, a_count: int) -> jax.Array:
     (the search never returns a zero-width interior symbol)."""
     a = min(a_count, 256)
     nxt = flat[1 : a + 1]
-    c1 = jnp.zeros(256, _U32)
+    # pad beyond the alphabet with 0xFFFF so ``slot > c1[m]`` is false for
+    # out-of-range m (the parallel count round sweeps a fixed 15-value
+    # window that can extend past a-1); in-range zero-freq cum saturates
+    # at 0 (see above)
+    c1 = jnp.full(256, 0xFFFF, _U32)
     c1 = c1.at[:a].set(jnp.where(nxt == 0, _U32(0), nxt - _U32(1)) & _U32(0xFFFF))
     srow = c1[0::2] | (c1[1::2] << _U32(16))  # (128,)
     w2 = jnp.zeros(256, _U32)

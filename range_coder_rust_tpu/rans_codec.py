@@ -124,6 +124,45 @@ def _finalize(sym, *, out_dtype):
     return sym.reshape(NG * g * L).astype(out_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("alphabet",))
+def _histogram_device(data, *, alphabet):
+    """Order-0 histogram on device: chunked one-hot MXU contractions.
+
+    The host's np.bincount costs seconds at GB scale while the data is
+    being uploaded anyway; per 64K-symbol chunk the one-hot compare is
+    exact in bfloat16 and the (1, 64K) x (64K, A) dot accumulates exact
+    integer counts (<= 64K < 2^24) in f32, summed across chunks in i32.
+    """
+    ch = 1 << 16
+    pad = (-data.size) % ch
+    # keep the scanned buffer in the input dtype (u8 for byte alphabets);
+    # the widening happens per 64K chunk inside the loop
+    d = jnp.concatenate(
+        [data, jnp.full((pad,), alphabet - 1, data.dtype)])
+    chunks = d.reshape(-1, ch)
+    ids = jnp.arange(alphabet, dtype=jnp.int32)
+    ones = jnp.ones((1, ch), jnp.bfloat16)
+
+    def step(h, c):
+        oh = (c.astype(jnp.int32)[:, None] == ids[None, :]).astype(
+            jnp.bfloat16)
+        s = jax.lax.dot(ones, oh, preferred_element_type=jnp.float32)
+        return h + s[0].astype(jnp.int32), None
+
+    h, _ = jax.lax.scan(step, jnp.zeros(alphabet, jnp.int32), chunks)
+    # the pad symbols counted into the last bin; remove them exactly
+    return h.at[alphabet - 1].add(-pad)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "length"))
+def _pad_rows_device(data, pad_sym, *, rows, length):
+    """Flat device array -> (rows, length) padded with ``pad_sym``."""
+    pad = rows * length - data.size
+    full = jnp.concatenate(
+        [data, jnp.full((pad,), pad_sym, data.dtype)])
+    return full.reshape(rows, length)
+
+
 def _rows_e(tile: int) -> int:
     return tile * 1024 // 128 + 16
 
@@ -330,27 +369,43 @@ def encode(
     symbols: np.ndarray,
     *,
     alphabet: int,
-    table: Pow2Table,
+    table: Pow2Table | None = None,
     block_len: int,
     with_checksums: bool = True,
 ) -> bytes:
-    """Compress a 1-D int32 symbol array into a rans16 container.
+    """Compress a 1-D integer symbol array into a rans16 container.
 
     ``block_len`` is the REQUESTED lane length; it is shrunk (to a
     multiple of TILE_STEPS, or less for tiny inputs) when the input is too
     small to fill even one group at that length.
+
+    ``table=None`` builds the shared order-0 table ON DEVICE from the
+    uploaded data (one-hot MXU histogram) — np.bincount costs seconds at
+    GB scale on this class of host, and the data has to go up anyway.
     """
-    if table.k != 16:
+    if table is not None and table.k != 16:
         raise ConfigError("rans16 profile requires k == 16")
     n = int(symbols.size)
     _tile_geometry(block_len)  # validate requested geometry
     L = _shrink_lane_len(n, block_len)
     ng = max(1, math.ceil(n / (G * L)))
+
+    narrow = symbols if alphabet > 256 else symbols.astype(np.uint8)
+    data_dev = jnp.asarray(narrow)  # the one upload of the corpus
+    if table is None:
+        from .models.table import build_table_pow2
+
+        if n == 0:
+            counts = np.ones(max(alphabet, 1), np.uint64)
+        else:
+            counts = np.asarray(_histogram_device(
+                data_dev, alphabet=alphabet)).astype(np.uint64)
+        table = build_table_pow2(counts, 16)
     pad_symbol = int(np.argmax(table.c))
-    padded = np.full(ng * G * L, pad_symbol,
-                     np.uint8 if alphabet <= 256 else np.int32)
-    padded[:n] = symbols
-    payloads = encode_groups(padded.reshape(ng * G, L), table, L)
+    padded = _pad_rows_device(
+        data_dev, np.asarray(pad_symbol, narrow.dtype),
+        rows=ng * G, length=L)
+    payloads = encode_groups(padded, table, L)
     return fmt.pack(
         k=16,
         alphabet=alphabet,

@@ -1,19 +1,22 @@
-"""Weak-scaling curve on the virtual CPU mesh (BASELINE config 4 stand-in).
+"""Weak-scaling measurement on the virtual CPU mesh (BASELINE config 4
+stand-in — real multi-chip hardware is unavailable in this environment).
 
-Real multi-chip hardware is unavailable here, so this measures the SPMD
-path on N virtual CPU devices (1 -> 2 -> 4 -> 8), fixed per-device blocks.
-The host has few physical cores, so raw time is NOT a hardware scaling
-number; the meaningful quantities are
+Geometry per the round-2 verdict: >= 64 MB of symbols PER DEVICE so every
+timing is seconds-scale, not dispatch noise.  The N virtual devices share
+this host's physical cores (os.cpu_count() of them), so raw weak-scaling
+wall time necessarily grows ~N/cores; the scaling-relevant quantities are
 
-* ``overhead_vs_unsharded``: time of the N-device sharded program vs the
-  SAME total work on one device — the cost XLA's partitioning adds
-  (collectives, per-shard program overhead).  Near 1.0 = the sharded
-  program is as efficient as the unsharded one, i.e. on real chips (where
-  each shard has its own compute) weak scaling is communication-free.
-* the communication structure: the hot loop has NO collectives by design
-  (parallel/dist.py) — partitioning is along the independent block axis.
+* ``efficiency_vs_core_limit[N] = t(1) * N / cores_used(N) / t(N)`` —
+  the weak-scaling time normalized by the unavoidable core
+  oversubscription; near 1.0 means partitioning adds no work.
+* ``overhead_vs_unsharded_same_work``: the SAME total corpus, one device
+  unsharded vs 8 devices sharded — directly the cost XLA's partitioning
+  adds (target <= 1.1).  The hot loop has no collectives by design
+  (parallel/dist.py): blocks are independent, tables replicated.
 
 Writes SCALING_r03.json.  Usage: python scripts/scaling_bench.py
+Env: RC_SCALE_MB_PER_DEV (default 64), RC_SCALE_L (default 4096),
+RC_SCALE_REPS (default 2).
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_n(n_dev: int, blocks_per_dev: int, L: int, k: int, reps: int = 3):
+def bench_n(n_dev: int, blocks_per_dev: int, L: int, k: int, reps: int):
     devs = jax.devices()[:n_dev]
     mesh = default_mesh(devs)
     B = blocks_per_dev * n_dev
@@ -75,29 +78,44 @@ def bench_n(n_dev: int, blocks_per_dev: int, L: int, k: int, reps: int = 3):
 
 
 def main():
-    L = int(os.environ.get("RC_SCALE_L", "512"))
+    L = int(os.environ.get("RC_SCALE_L", "4096"))
     k = 16
-    bpd = int(os.environ.get("RC_SCALE_BLOCKS", "128"))
+    mb_per_dev = int(os.environ.get("RC_SCALE_MB_PER_DEV", "64"))
+    reps = int(os.environ.get("RC_SCALE_REPS", "2"))
+    bpd = (mb_per_dev << 20) // L
+    cores = os.cpu_count() or 1
     results = {}
-    # weak scaling: per-device work fixed
+    # weak scaling: per-device work fixed at mb_per_dev
     for n in (1, 2, 4, 8):
-        dt, n_sym = bench_n(n, bpd, L, k)
-        results[n] = {"time_s": round(dt, 4), "symbols": n_sym,
-                      "sym_per_s": round(n_sym / dt)}
-        log(f"{n} dev: {dt*1e3:.1f} ms for {n_sym} syms (weak)")
-    # same TOTAL work on 1 device vs 8 devices: partitioning overhead
-    dt1, n_sym = bench_n(1, bpd * 8, L, k)
+        dt, n_sym = bench_n(n, bpd, L, k, reps)
+        results[n] = {"time_s": round(dt, 2), "symbols": n_sym,
+                      "mb_per_s": round(n_sym / dt / 1e6, 1)}
+        log(f"{n} dev: {dt:.2f} s for {n_sym >> 20} M syms (weak, "
+            f"{min(n, cores)}/{cores} cores busy)")
+    t1 = results[1]["time_s"]
+    for n, r in results.items():
+        # ideal weak time on this host: t(1) * (n devices / cores they run on)
+        ideal = t1 * n / min(n, cores)
+        r["efficiency_vs_core_limit"] = round(ideal / r["time_s"], 3)
+
+    # same TOTAL work: 1 device unsharded vs 8 devices sharded
+    dt1, n_sym = bench_n(1, bpd * 8, L, k, reps)
     dt8 = results[8]["time_s"]
     overhead = dt8 / dt1
-    log(f"8-dev sharded vs 1-dev unsharded, same work: {overhead:.3f}x")
+    log(f"8-dev sharded vs 1-dev unsharded, same {n_sym >> 20} M syms: "
+        f"{overhead:.3f}x")
     out = {
         "metric": "weak-scaling (virtual 8-device CPU mesh)",
+        "mb_per_device": mb_per_dev,
+        "host_cores": cores,
         "weak_scaling": results,
         "overhead_vs_unsharded_same_work": round(overhead, 4),
-        "note": ("virtual devices share this host's cores; on real chips "
-                 "the block axis is embarrassingly parallel (no hot-loop "
-                 "collectives), so overhead_vs_unsharded ~ 1.0 is the "
-                 "scaling-relevant result"),
+        "note": ("virtual devices share this host's physical cores, so "
+                 "weak-scaling wall time grows ~N/cores by construction; "
+                 "the partitioning-cost signal is "
+                 "overhead_vs_unsharded_same_work (hot loop has no "
+                 "collectives — the block axis is embarrassingly "
+                 "parallel)"),
         "block_len": L,
         "blocks_per_device": bpd,
     }

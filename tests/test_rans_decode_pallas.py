@@ -37,7 +37,8 @@ def _spec_payload(group_rows, t, L):
 
 @pytest.mark.parametrize(
     "NG,L,a,alpha",
-    [(1, 64, 256, 1.2), (2, 128, 77, 0.4), (1, 64, 300, 0.7)],
+    [(1, 64, 256, 1.2), (2, 128, 77, 0.4), (1, 64, 300, 0.7),
+     (1, 64, 129, 0.9), (1, 64, 255, 1.0)],
 )
 def test_rans_decode_kernel(NG, L, a, alpha):
     G = rans.GROUP_LANES
