@@ -55,13 +55,13 @@ def make_corpus(n_bytes: int, seed: int = 0xC0) -> np.ndarray:
 
 
 def timed_best(fn, block, reps):
-    best = None
-    for _ in range(reps):
-        t0 = time.time()
-        block(fn())
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return best
+    """Average seconds per rep with all reps DISPATCHED back-to-back and
+    one final block: each dispatch over the axon tunnel costs ~20-30 ms
+    of latency, which block-per-rep timing would charge to the device."""
+    t0 = time.time()
+    outs = [fn() for _ in range(reps)]
+    block(outs)
+    return (time.time() - t0) / reps
 
 
 def main() -> None:

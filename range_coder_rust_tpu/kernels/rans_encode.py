@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.u64 import mul32_wide
 from .compact_flat import compact_flat_packed, flat_roll_dyn_mosaic
 from .vreg import _bcast_rows, _lookup_rows
 
@@ -91,9 +92,38 @@ def _mul_u32_shift16(q1: jax.Array, cc: jax.Array):
     return p >> _U32(16), p << _U32(16)
 
 
-def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, exp_ref, pre_ref, sz_ref,
-                        st_ref, *, a_count: int, tile_steps: int,
-                        n_tiles: int):
+def barrett_rows(c) -> "np.ndarray":
+    """Per-symbol Barrett reciprocals for the EXACT in-kernel division
+    ``q = floor(x / c)`` with ``x < 2^48`` (Granlund-Montgomery: with
+    ``l = ceil(log2 c)`` and ``m = floor(2^(48+l)/c) + 1`` — 49 bits —
+    ``q = (x*m) >> (48+l)`` is exact because ``m*c - 2^(48+l) <= c <=
+    2^l``).  Replaces the f32 estimate + 6 serial fixup rounds with a
+    short, mostly-parallel multiply tree.
+
+    Returns (16, 128) u32: rows 0-7 = m_lo (u32), rows 8-15 =
+    ``m_hi | l << 20`` for alphabets up to 1024; zero-frequency symbols
+    get c=1 constants (they are never encoded).
+    """
+    import numpy as np
+
+    a = int(c.shape[0])
+    if a > 1024:
+        raise ValueError(f"alphabet {a} exceeds 1024 symbols")
+    ml = np.zeros(1024, np.uint32)
+    mhl = np.zeros(1024, np.uint32)
+    for s in range(a):
+        d = max(int(c[s]), 1)
+        lg = (d - 1).bit_length()
+        m = (1 << (48 + lg)) // d + 1
+        ml[s] = m & 0xFFFFFFFF
+        mhl[s] = (m >> 32) | (lg << 20)
+    return np.stack([ml.reshape(8, 128), mhl.reshape(8, 128)]
+                    ).reshape(16, 128)
+
+
+def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
+                        pre_ref, sz_ref, st_ref, lut_ref, *, a_count: int,
+                        tile_steps: int, n_tiles: int, barrett: bool):
     """One (group, step-tile), tiles walked in buffer order (= time
     reversed).  cum_ref (8,128) u32; aux_ref (8,128) packed lookup rows
     (rans_decode.aux_from_cum_flat); sym_ref (1, tile_steps*8, 128) i32
@@ -122,18 +152,33 @@ def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, exp_ref, pre_ref, sz_ref,
         st_ref[0] = jnp.full((8, 128), 1, _U32)   # x = 2^32
         st_ref[1] = jnp.zeros((8, 128), _U32)
 
+    # the per-symbol table words depend only on the INPUT symbols, not on
+    # coder state — hoist the lookup out of the (latency-bound) step loop
+    # as one batched gather over the whole tile, staged through VMEM
+    # scratch (Mosaic cannot dynamic-slice a value, only a ref)
+    if packed:
+        lut_ref[0] = _lookup_rows(w2_rows, sym_ref[0, 0])  # (tile*8, 128)
+    else:
+        cum_all = _lookup_rows(cum_rows, sym_ref[0, 0])
+        lut_ref[0] = cum_all
+        lut_ref[1] = _lookup_rows(cum_rows, sym_ref[0, 0] + 1) - cum_all
+    if barrett:
+        ml_rows = _bcast_rows(baux_ref[0:8, :])
+        mhl_rows = _bcast_rows(baux_ref[8:16, :])
+        lut_ref[1 if packed else 2] = _lookup_rows(ml_rows, sym_ref[0, 0])
+        lut_ref[2 if packed else 3] = _lookup_rows(mhl_rows, sym_ref[0, 0])
+
     def body(j, carry):
         xhi, xlo, ch = carry
         t_local = tile_steps - 1 - j
-        sym = sym_ref[0, 0, pl.ds(t_local * 8, 8), :]
 
         if packed:
-            w2 = _lookup_rows(w2_rows, sym)
+            w2 = lut_ref[0, pl.ds(t_local * 8, 8), :]
             cum_s = w2 & _U32(0xFFFF)
             cc = (w2 >> _U32(16)) + _U32(1)
         else:
-            cum_s = _lookup_rows(cum_rows, sym)
-            cc = _lookup_rows(cum_rows, sym + 1) - cum_s
+            cum_s = lut_ref[0, pl.ds(t_local * 8, 8), :]
+            cc = lut_ref[1, pl.ds(t_local * 8, 8), :]
 
         # 2. renorm: emit one halfword where x >= c << 32  <=>  x.hi >= c
         emit = xhi >= cc
@@ -144,38 +189,70 @@ def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, exp_ref, pre_ref, sz_ref,
         xlo1 = jnp.where(emit, exlo, xlo)
 
         # 3. q = x / c, r = x % c  (x < c * 2^32 now, so q < 2^32)
-        full = cc == _U32(1 << 16)  # c == 2^16: q = x >> 16 exactly
-        xf = _to_f32(xhi1) * 4294967296.0 + _to_f32(xlo1)
-        ccf = _to_f32(cc)
-        # stage 1: q1 = x // (c << 16) < 2^16
-        q1 = _div_stage(xf, ccf * 65536.0)
-        # r1 = x - q1 * (c << 16); fixups in u64 limb math
-        d1hi, d1lo = _mul_u32_shift16(q1, cc)
-        r1hi = xhi1 - d1hi - (xlo1 < d1lo).astype(_U32)
-        r1lo = xlo1 - d1lo
-        for _ in range(3):
-            ge = jnp.logical_or(
-                r1hi > (cc >> _U32(16)),
-                jnp.logical_and(r1hi == (cc >> _U32(16)),
-                                r1lo >= (cc << _U32(16))),
-            )
-            q1 = q1 + ge.astype(_U32)
-            nlo = r1lo - (cc << _U32(16))
-            r1hi = jnp.where(ge, r1hi - (cc >> _U32(16))
-                             - (r1lo < (cc << _U32(16))).astype(_U32), r1hi)
-            r1lo = jnp.where(ge, nlo, r1lo)
-        # after fixups r1 < c << 16 <= 2^32: r1 lives in r1lo
-        q2 = _div_stage(_to_f32(r1lo), ccf)
-        r2 = r1lo - q2 * cc
-        for _ in range(3):
-            ge = r2 >= cc
-            q2 = q2 + ge.astype(_U32)
-            r2 = jnp.where(ge, r2 - cc, r2)
-        q_lo = (q1 << _U32(16)) | q2
+        if barrett:
+            # exact multiply-shift (barrett_rows): q = (x*m) >> (48+l),
+            # a short tree of independent 32x32 products — no estimate/
+            # fixup chain, no c == 2^16 special case
+            base = 1 if packed else 2
+            ml = lut_ref[base, pl.ds(t_local * 8, 8), :]
+            mhl = lut_ref[base + 1, pl.ds(t_local * 8, 8), :]
+            mh = mhl & _U32(0xFFFFF)         # m >> 32, < 2^17
+            sh = mhl >> _U32(20)             # l in [0, 16]
+            ac_hi, ac_lo = mul32_wide(xlo1, ml)
+            ad_hi, ad_lo = mul32_wide(xlo1, mh)
+            bc_hi, bc_lo = mul32_wide(xhi1, ml)
+            bd_hi, bd_lo = mul32_wide(xhi1, mh)
+            p1_lo = ad_lo + bc_lo
+            c0 = (p1_lo < ad_lo).astype(_U32)
+            p1_hi = ad_hi + bc_hi + c0       # < 2^18
+            s1 = ac_hi + p1_lo
+            c1 = (s1 < ac_hi).astype(_U32)
+            t2 = p1_hi + bd_lo
+            c2a = (t2 < p1_hi).astype(_U32)
+            s2 = t2 + c1
+            c2b = (s2 < t2).astype(_U32)
+            s3 = bd_hi + c2a + c2b
+            h_lo = (s1 >> _U32(16)) | (s2 << _U32(16))   # product bits 48..79
+            h_hi = (s2 >> _U32(16)) | (s3 << _U32(16))   # product bits 80..111
+            q_lo = jnp.where(
+                sh == 0, h_lo,
+                (h_lo >> sh) | (h_hi << (_U32(32) - sh)))
+            r_fin = xlo1 - q_lo * cc         # r < 2^16: exact mod 2^32
+        else:
+            full = cc == _U32(1 << 16)  # c == 2^16: q = x >> 16 exactly
+            xf = _to_f32(xhi1) * 4294967296.0 + _to_f32(xlo1)
+            ccf = _to_f32(cc)
+            # stage 1: q1 = x // (c << 16) < 2^16
+            q1 = _div_stage(xf, ccf * 65536.0)
+            # r1 = x - q1 * (c << 16); fixups in u64 limb math
+            d1hi, d1lo = _mul_u32_shift16(q1, cc)
+            r1hi = xhi1 - d1hi - (xlo1 < d1lo).astype(_U32)
+            r1lo = xlo1 - d1lo
+            for _ in range(3):
+                ge = jnp.logical_or(
+                    r1hi > (cc >> _U32(16)),
+                    jnp.logical_and(r1hi == (cc >> _U32(16)),
+                                    r1lo >= (cc << _U32(16))),
+                )
+                q1 = q1 + ge.astype(_U32)
+                nlo = r1lo - (cc << _U32(16))
+                r1hi = jnp.where(ge, r1hi - (cc >> _U32(16))
+                                 - (r1lo < (cc << _U32(16))).astype(_U32),
+                                 r1hi)
+                r1lo = jnp.where(ge, nlo, r1lo)
+            # after fixups r1 < c << 16 <= 2^32: r1 lives in r1lo
+            q2 = _div_stage(_to_f32(r1lo), ccf)
+            r2 = r1lo - q2 * cc
+            for _ in range(3):
+                ge = r2 >= cc
+                q2 = q2 + ge.astype(_U32)
+                r2 = jnp.where(ge, r2 - cc, r2)
+            q_lo = (q1 << _U32(16)) | q2
 
-        # c == 2^16 special case: q = x >> 16, r = x & 0xFFFF
-        q_lo = jnp.where(full, (xlo1 >> _U32(16)) | (xhi1 << _U32(16)), q_lo)
-        r_fin = jnp.where(full, xlo1 & _U32(0xFFFF), r2)
+            # c == 2^16 special case: q = x >> 16, r = x & 0xFFFF
+            q_lo = jnp.where(
+                full, (xlo1 >> _U32(16)) | (xhi1 << _U32(16)), q_lo)
+            r_fin = jnp.where(full, xlo1 & _U32(0xFFFF), r2)
 
         # 4. x' = (q << 16) | (cum + r)
         nxhi = q_lo >> _U32(16)
@@ -234,6 +311,7 @@ def _rans_encode_kernel(cum_ref, aux_ref, sym_ref, exp_ref, pre_ref, sz_ref,
 def rans_encode_tiled(
     symbols: jax.Array,
     cum_vreg: jax.Array,
+    enc_aux: jax.Array | None = None,
     *,
     block_len: int,
     a_count: int,
@@ -245,6 +323,9 @@ def rans_encode_tiled(
       symbols: (NG, L*8, 128) int32 step-major (symbols_to_step_major),
         L == block_len (any multiple of TILE_STEPS, or <= TILE_STEPS).
       cum_vreg: (8, 128) uint32 (prep_cum_vreg).
+      enc_aux: (16, 128) uint32 Barrett reciprocal rows (barrett_rows) —
+        enables the exact multiply-shift division; None falls back to the
+        f32 estimate + fixup divide (same outputs, longer serial chain).
 
     Returns ``(pre, exp, sizes)``:
       pre: (NG, 16, 128) u32 preamble words (lane states, lo/hi pairs);
@@ -261,9 +342,12 @@ def rans_encode_tiled(
         raise ValueError(f"block_len {block_len} % tile {tile} != 0")
     n_tiles = block_len // tile
     rows_e = tile * 1024 // 128 + 16
+    barrett = enc_aux is not None
+    if not barrett:
+        enc_aux = jnp.zeros((16, 128), _U32)
     kern = functools.partial(
         _rans_encode_kernel, a_count=a_count, tile_steps=tile,
-        n_tiles=n_tiles,
+        n_tiles=n_tiles, barrett=barrett,
     )
     from .rans_decode import aux_from_cum_flat
 
@@ -286,6 +370,8 @@ def rans_encode_tiled(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda g, t: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, tile * 8, 128),
                 lambda g, t: (g, t, 0, 0),
@@ -301,9 +387,10 @@ def rans_encode_tiled(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 8, 128), _U32),
+            pltpu.VMEM((4, tile * 8, 128), _U32),  # hoisted per-step tables
         ],
         interpret=interpret,
-    )(cum_vreg, aux, sym4)
+    )(cum_vreg, aux, enc_aux, sym4)
     return pre, exp, sz
 
 

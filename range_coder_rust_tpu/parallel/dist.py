@@ -90,7 +90,8 @@ def make_sharded_rans16(
     container assembly downstream is unchanged, which is what makes the
     sharded container byte-identical (tests/test_parallel.py).
 
-    encode(rows (NG*1024, L) any-int, cum_vreg (8,128) u32)
+    encode(rows (NG*1024, L) any-int, cum_vreg (8,128) u32,
+           enc_aux (16,128) u32 barrett_rows)
       -> (pre (NG,16,128) u32, exp (NG,NT,rows_e,128) u32, sizes (NG,NT))
     decode(padded (NG,NT,rpad,128) u32, starts (NG,NT) i32,
            pre (NG,16,128) u32, cum_vreg) -> (NG, 1024, L) i32
@@ -106,17 +107,17 @@ def make_sharded_rans16(
     P = jax.sharding.PartitionSpec
     interp = jax.default_backend() != "tpu"
 
-    def enc_local(rows, cum_vreg):
+    def enc_local(rows, cum_vreg, enc_aux):
         sym = symbols_to_step_major(rows.astype(jnp.int32))
         return rans_encode_tiled(
-            sym, cum_vreg, block_len=block_len, a_count=a_count,
+            sym, cum_vreg, enc_aux, block_len=block_len, a_count=a_count,
             interpret=interp)
 
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axis
     # metadata, and the kernels touch no collectives anyway
     enc = jax.jit(jax.shard_map(
         enc_local, mesh=mesh,
-        in_specs=(P(AXIS), P()),
+        in_specs=(P(AXIS), P(), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,
     ))

@@ -50,7 +50,8 @@ from . import rans
 from .errors import ConfigError, InvalidHeader
 from .kernels.vreg import prep_cum_vreg, symbols_to_step_major
 from .kernels.rans_decode import rans_decode_tiled
-from .kernels.rans_encode import TILE_STEPS, pack_and_gather, rans_encode_tiled
+from .kernels.rans_encode import (
+    TILE_STEPS, barrett_rows, pack_and_gather, rans_encode_tiled)
 from .models.table import Pow2Table
 
 G = rans.GROUP_LANES
@@ -87,11 +88,12 @@ def _tracer():
 
 
 @functools.partial(jax.jit, static_argnames=("block_len", "a_count", "interpret"))
-def _encode_device(rows, cum_vreg, *, block_len, a_count, interpret):
+def _encode_device(rows, cum_vreg, enc_aux=None, *, block_len, a_count,
+                   interpret):
     """(B, L) symbol rows (any int dtype) -> (pre, exp, sizes)."""
     sym_t = symbols_to_step_major(rows.astype(jnp.int32))
     return rans_encode_tiled(
-        sym_t, cum_vreg, block_len=block_len, a_count=a_count,
+        sym_t, cum_vreg, enc_aux, block_len=block_len, a_count=a_count,
         interpret=interpret)
 
 
@@ -189,6 +191,7 @@ def encode_groups(
     cap = tile * 1024           # per-tile capacity (halfwords)
     rows_p = cap // 256         # packed word-rows per tile block
     cum_vreg = jnp.asarray(prep_cum_vreg(table.cum))
+    enc_aux = jnp.asarray(barrett_rows(table.c))
     a_count = int(table.c.shape[0])
     interp = _interpret()
 
@@ -201,7 +204,8 @@ def encode_groups(
         trace(f"enc batch {start}: H2D dispatch")
         chunk = jnp.asarray(symbols[start * G : stop * G])
         pre, exp, sizes = _encode_device(
-            chunk, cum_vreg, block_len=L, a_count=a_count, interpret=interp)
+            chunk, cum_vreg, enc_aux, block_len=L, a_count=a_count,
+            interpret=interp)
         trace("kernel dispatched; fetching sizes")
         sizes_np = np.asarray(sizes)          # (nb, NT) buffer order
         trace("sizes fetched; fetching preamble")

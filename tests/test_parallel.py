@@ -77,6 +77,7 @@ def test_sharded_rans16_matches_single_device():
     import numpy as np
 
     from range_coder_rust_tpu import rans_codec
+    from range_coder_rust_tpu.kernels.rans_encode import barrett_rows
     from range_coder_rust_tpu.kernels.vreg import prep_cum_vreg
     from range_coder_rust_tpu.models.table import table_from_data_pow2
     from range_coder_rust_tpu.parallel import (
@@ -91,14 +92,16 @@ def test_sharded_rans16_matches_single_device():
     t = table_from_data_pow2(data, 256, 16)
     cum_vreg = jnp.asarray(prep_cum_vreg(t.cum))
 
+    enc_aux = jnp.asarray(barrett_rows(t.c))
     enc, dec = make_sharded_rans16(mesh, block_len=L, a_count=256)
     rows_sh = jax.device_put(jnp.asarray(data), block_sharding(mesh))
     cum_sh = jax.device_put(cum_vreg, replicated(mesh))
-    pre, exp, sizes = enc(rows_sh, cum_sh)
+    aux_sh = jax.device_put(enc_aux, replicated(mesh))
+    pre, exp, sizes = enc(rows_sh, cum_sh, aux_sh)
 
     # bit-parity vs the single-device pipeline
     pre1, exp1, sizes1 = rans_codec._encode_device(
-        jnp.asarray(data), cum_vreg, block_len=L, a_count=256,
+        jnp.asarray(data), cum_vreg, enc_aux, block_len=L, a_count=256,
         interpret=True)
     np.testing.assert_array_equal(np.asarray(sizes), np.asarray(sizes1))
     np.testing.assert_array_equal(np.asarray(pre), np.asarray(pre1))
