@@ -54,14 +54,21 @@ def make_corpus(n_bytes: int, seed: int = 0xC0) -> np.ndarray:
     return rng.choice(256, size=n_bytes, p=probs).astype(np.int32)
 
 
-def timed_best(fn, block, reps):
-    """Average seconds per rep with all reps DISPATCHED back-to-back and
-    one final block: each dispatch over the axon tunnel costs ~20-30 ms
-    of latency, which block-per-rep timing would charge to the device."""
-    t0 = time.time()
-    outs = [fn() for _ in range(reps)]
-    block(outs)
-    return (time.time() - t0) / reps
+def timed_best(fn, block, reps, groups=3):
+    """Best group-average seconds per rep.  Within a group all reps are
+    DISPATCHED back-to-back with one final block (each dispatch over the
+    axon tunnel costs ~20-30 ms of latency, which block-per-rep timing
+    would charge to the device); the best of ``groups`` group-averages
+    rides out this VM's noisy-neighbor variance (the pure-CPU baseline
+    itself swings ~40% run to run)."""
+    best = None
+    for _ in range(groups):
+        t0 = time.time()
+        outs = [fn() for _ in range(reps)]
+        block(outs)
+        dt = (time.time() - t0) / reps
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def main() -> None:
@@ -130,12 +137,16 @@ def main() -> None:
         if profile == "rans16" else api.CodecConfig(k=k, block_len=L)
     e2e_data = data[:e2e_n].astype(np.uint8).tobytes()
     blob = api.encode(e2e_data, alphabet=256, config=cfg)
-    t0 = time.time()
-    blob = api.encode(e2e_data, alphabet=256, config=cfg)
-    e2e_enc_t = time.time() - t0
-    t0 = time.time()
-    rt = api.decode(blob)
-    e2e_dec_t = time.time() - t0
+    e2e_enc_t = e2e_dec_t = None
+    for _ in range(2):  # best-of-2: tunnel throughput is erratic
+        t0 = time.time()
+        blob = api.encode(e2e_data, alphabet=256, config=cfg)
+        dt = time.time() - t0
+        e2e_enc_t = dt if e2e_enc_t is None else min(e2e_enc_t, dt)
+        t0 = time.time()
+        rt = api.decode(blob)
+        dt = time.time() - t0
+        e2e_dec_t = dt if e2e_dec_t is None else min(e2e_dec_t, dt)
     assert np.array_equal(rt, data[:e2e_n]), "api round trip failed"
     e2e_gbps = e2e_n / 1e9 / (e2e_enc_t + e2e_dec_t)
     log(f"end-to-end api ({e2e_n >> 20} MB, incl. tunnel transfers + host "
@@ -238,7 +249,10 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     ng = max(1, n // (G * L))
     nfit = ng * G * L
     rows = data[:nfit].reshape(ng * G, L).astype(np.uint8)
+    from range_coder_rust_tpu.kernels.rans_encode import barrett_rows
+
     cum_vreg = jax.device_put(jnp.asarray(prep_cum_vreg(t.cum)), dev)
+    enc_aux = jax.device_put(jnp.asarray(barrett_rows(t.c)), dev)
     gpc = max(1, rans_codec._BATCH_SYMBOLS // (G * L))
     n_batches = -(-ng // gpc)
     tile, NT = rans_codec._tile_geometry(L)
@@ -256,7 +270,8 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
         from range_coder_rust_tpu.kernels.rans_encode import pack_and_gather
 
         pre, exp, sizes = rans_codec._encode_device(
-            dev_chunk, cum_vreg, block_len=L, a_count=256, interpret=False)
+            dev_chunk, cum_vreg, enc_aux, block_len=L, a_count=256,
+            interpret=False)
         sizes_np = np.asarray(sizes)  # sync: the host needs sizes for the
         # compaction row index (tiny D2H + ~n/64K-element numpy)
         row_idx, rows_out = _enc_row_idx(
@@ -280,7 +295,8 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     enc_row_idx = []
     for dev_chunk in dev_rows:
         _, _, sizes = rans_codec._encode_device(
-            dev_chunk, cum_vreg, block_len=L, a_count=256, interpret=False)
+            dev_chunk, cum_vreg, enc_aux, block_len=L, a_count=256,
+            interpret=False)
         t1 = time.time()
         sizes_np = np.asarray(sizes)
         sync_s = time.time() - t1
@@ -294,7 +310,8 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
 
     def enc_fused(dev_chunk, ri, rows_out):
         _, exp, _ = rans_codec._encode_device(
-            dev_chunk, cum_vreg, block_len=L, a_count=256, interpret=False)
+            dev_chunk, cum_vreg, enc_aux, block_len=L, a_count=256,
+            interpret=False)
         return pack_and_gather(exp, ri, rows_out=rows_out)
 
     # real container via the product path (also the size measurement)
@@ -311,9 +328,6 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     dec_compile = time.time() - t0
     log(f"rans16 decode compile+first (full decode_groups): {dec_compile:.1f}s")
     assert np.array_equal(got, rows.astype(np.int32)), "round trip failed"
-
-    cold = _cold_compile_s(jax, jnp, rans_codec, L, NT)
-    log(f"cold compile (fresh cache, lower+compile only): {cold}")
 
     block = jax.block_until_ready
     enc_t = timed_best(
@@ -365,6 +379,11 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
 
     jax.block_until_ready([dec_step(a) for a in dec_args])  # compile
     dec_t = timed_best(lambda: [dec_step(a) for a in dec_args], block, reps)
+
+    # measured LAST: flipping the compilation-cache dir invalidates jit
+    # executable caches, which would force recompiles into timed loops
+    cold = _cold_compile_s(jax, jnp, rans_codec, L, NT)
+    log(f"cold compile (fresh cache, lower+compile only): {cold}")
     scale = n / nfit
     return enc_t * scale, dec_t * scale, cont_bits, {
         "encode_first_s": round(enc_compile, 1),
