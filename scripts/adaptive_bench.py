@@ -75,37 +75,48 @@ def main():
     log(f"device: {dev}; {mb} MB mixed corpus, {B} blocks x {L}, k={k}")
 
     cap = default_capacity(L, k)
-    syms = jax.device_put(jnp.asarray(data), dev)
+    # chunked: the scan intermediates cost ~20 B/sym on device, so a
+    # whole 256 MB corpus in one call exceeds HBM — process 32 MB chunks
+    rows_per_chunk = (32 << 20) // L
+    chunks = [
+        jax.device_put(jnp.asarray(data[i : i + rows_per_chunk]), dev)
+        for i in range(0, B, rows_per_chunk)
+    ]
+    jax.block_until_ready(chunks)
 
-    def enc():
+    def enc_chunk(syms):
         c, cum = block_tables(syms, alphabet=256, k=k)
         ehi, elo, en, pos, lengths = encode_scan_adaptive(syms, c, cum, k=k)
         code = compact_emissions(ehi, elo, en, pos, capacity=cap)
         return code, lengths, c, cum
 
     t0 = time.time()
-    code, lengths, c, cum = enc()
-    jax.block_until_ready((code, lengths))
-    log(f"adaptive encode compile+first: {time.time() - t0:.1f}s")
-    lengths_np = np.asarray(lengths)
+    encoded = [enc_chunk(s) for s in chunks]
+    jax.block_until_ready([e[:2] for e in encoded])
+    log(f"adaptive encode compile+first: {time.time() - t0:.1f}s "
+        f"({len(chunks)} chunks)")
+    lengths_np = np.concatenate([np.asarray(e[1]) for e in encoded])
     assert int(lengths_np.max()) <= cap
 
     t0 = time.time()
-    dec = decode_blocks_adaptive(code, c, cum, k=k, block_len=L)
-    jax.block_until_ready(dec)
+    decs = [decode_blocks_adaptive(code, c, cum, k=k, block_len=L)
+            for code, _, c, cum in encoded]
+    jax.block_until_ready(decs)
     log(f"adaptive decode compile+first: {time.time() - t0:.1f}s")
-    assert np.array_equal(np.asarray(dec), data), "adaptive round trip failed"
+    got = np.concatenate([np.asarray(d) for d in decs])
+    assert np.array_equal(got, data), "adaptive round trip failed"
 
     enc_best = dec_best = None
     for _ in range(reps):
         t0 = time.time()
-        out = enc()
-        jax.block_until_ready(out[:2])
+        outs = [enc_chunk(s) for s in chunks]
+        jax.block_until_ready([o[:2] for o in outs])
         dt = time.time() - t0
         enc_best = dt if enc_best is None else min(enc_best, dt)
         t0 = time.time()
-        d = decode_blocks_adaptive(code, c, cum, k=k, block_len=L)
-        jax.block_until_ready(d)
+        ds = [decode_blocks_adaptive(code, c, cum, k=k, block_len=L)
+              for code, _, c, cum in encoded]
+        jax.block_until_ready(ds)
         dt = time.time() - t0
         dec_best = dt if dec_best is None else min(dec_best, dt)
 
