@@ -53,6 +53,11 @@ class CodecConfig:
     #: FreqTable's exact semantics (examples/sample_impl.rs:58-69), coded
     #: with true u64/u32 division on device (blocks.encode_blocks_div)
     raw_total: bool = False
+    #: adaptive rans16: one order-0 table per group of 1024*block_len
+    #: symbols (two-pass device histogram + the same kernels with
+    #: group-indexed tables).  Use a moderate block_len (1024-4096) so
+    #: groups are small enough to adapt.
+    per_group_tables: bool = False
 
     def __post_init__(self):
         if not 1 <= self.k <= 16:
@@ -69,6 +74,10 @@ class CodecConfig:
             raise ConfigError("rans16 profile requires k == 16")
         if self.raw_total and self.profile != "planar":
             raise ConfigError("raw_total requires the planar profile")
+        if self.per_group_tables and self.profile != "rans16":
+            raise ConfigError(
+                "per_group_tables is the adaptive rans16 mode; for planar "
+                "per-block tables use adaptive.encode_adaptive")
 
 
 def _as_symbols(data, alphabet: Optional[int]) -> tuple[np.ndarray, int]:
@@ -126,7 +135,7 @@ def encode(
         return _encode_raw(symbols, a, config)
 
     if config.profile == "rans16" and table is None:
-        # the rans16 path builds the table on device from the uploaded
+        # the rans16 path builds the table(s) on device from the uploaded
         # data (np.bincount costs seconds at GB scale on this host class)
         from . import rans_codec
 
@@ -136,6 +145,7 @@ def encode(
             table=None,
             block_len=L,
             with_checksums=config.with_checksums,
+            per_group_tables=config.per_group_tables,
         )
 
     if table is None:

@@ -35,8 +35,8 @@ symbol; N truncates it away on decode.
 
 The rans16 profile (flag bit2) reuses the same container with payload =
 one interleaved group stream per "block" (rans.py layout: 8-byte-per-lane
-state preamble + halfword region section).  ``k`` must be 16 and tables are
-shared (per-block tables unsupported).
+state preamble + halfword region section).  ``k`` must be 16; per-block mode
+stores one table PER GROUP (the adaptive rans16 profile).
 """
 
 from __future__ import annotations
@@ -124,8 +124,6 @@ def pack(
     if profile == "rans16":
         if k != 16:
             raise ValueError("rans16 profile requires k == 16")
-        if per_block_tables:
-            raise ValueError("rans16 profile uses a shared table")
         if group_lanes < 1 or group_lanes & (group_lanes - 1):
             raise ValueError(f"group_lanes {group_lanes} must be a power of 2")
         flags |= FLAG_RANS16
@@ -188,8 +186,6 @@ def unpack(blob: bytes, *, verify_checksums: bool = True) -> Container:
     if is_rans:
         if k != 16:
             raise InvalidHeader("rans16 container with k != 16")
-        if per_block:
-            raise InvalidHeader("rans16 container with per-block tables")
         if not 0 < glog <= 16:
             raise InvalidHeader(f"rans16 container with bad group log {glog}")
         group_lanes = 1 << glog

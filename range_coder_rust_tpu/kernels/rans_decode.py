@@ -75,13 +75,13 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
     # generic path gathers the plain cum table (2 gathers + select/probe).
     packed = a_count <= 256
     if packed:
-        srow = _bcast_rows(aux_ref[0:1, :])
-        w2_rows = _bcast_rows(aux_ref[1:3, :])
+        srow = _bcast_rows(aux_ref[0, 0:1, :])
+        w2_rows = _bcast_rows(aux_ref[0, 1:3, :])
     else:
         n_rows = 1
         while n_rows * 128 < a_count + 2 and n_rows < 8:
             n_rows *= 2
-        cum_rows = _bcast_rows(cum_ref[:])[:n_rows]
+        cum_rows = _bcast_rows(cum_ref[0])[:n_rows]
     search_iters = max(1, (a_count - 1).bit_length())
 
     @pl.when(tau == 0)
@@ -114,10 +114,10 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
         it = 0
         if search_iters >= 2:
             m1 = a_count >> 1
-            go = probe_ref[0] <= slot
+            go = probe_ref[g_idx, 0] <= slot
             lo = jnp.where(go, m1, lo)
             hi = jnp.where(go, hi, m1)
-            c2 = jnp.where(go, probe_ref[2], probe_ref[1])
+            c2 = jnp.where(go, probe_ref[g_idx, 2], probe_ref[g_idx, 1])
             mid = (lo + hi) >> 1
             go = c2 <= slot
             lo = jnp.where(go, mid, lo)
@@ -156,7 +156,7 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
             # zero-frequency repair: slot == 0 with leading absent
             # symbols misroutes under the saturated probe
             # (aux_from_cum_flat); true symbol index >= j0 = probe_ref[3]
-            idx = jnp.maximum(idx, probe_ref[3].astype(_I32))
+            idx = jnp.maximum(idx, probe_ref[g_idx, 3].astype(_I32))
             # cum[idx] = c1[idx-1]+1 (0 when idx <= j0, where cum==0);
             # cum[idx+1] = c1[idx]+1 (always >= 1, so exact): both words
             # are among the 9 fetched — select by (idx>>1) - base_w + 1
@@ -175,7 +175,7 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                 wsel_m = jnp.where(sel == k, words[k - 1], wsel_m)
             c1_im1 = jnp.where(odd, c1_even, wsel_m >> _U32(16))
             c1_i = jnp.where(odd, c1_odd, c1_even)     # c1[idx]
-            cum_s = jnp.where(idx <= probe_ref[3].astype(_I32),
+            cum_s = jnp.where(idx <= probe_ref[g_idx, 3].astype(_I32),
                               _U32(0), c1_im1 + _U32(1))
             cc = (c1_i + _U32(1)) - cum_s
         else:
@@ -193,7 +193,7 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                 hi = jnp.where(go, hi, mid)
             idx = lo
             if packed:
-                idx = jnp.maximum(idx, probe_ref[3].astype(_I32))
+                idx = jnp.maximum(idx, probe_ref[g_idx, 3].astype(_I32))
                 w2 = _lookup_rows(w2_rows, idx)
                 cum_s = w2 & _U32(0xFFFF)
                 cc = (w2 >> _U32(16)) + _U32(1)
@@ -258,7 +258,8 @@ def rans_decode_tiled(
         per-tile sizes produce this layout — rans_codec).
       starts: (NG, NT) int32 halfword offsets.
       pre: (NG, 16, 128) u32 preamble words (rans_encode layout).
-      cum_vreg: (8, 128) uint32 (prep_cum_vreg).
+      cum_vreg: (8, 128) uint32 (prep_cum_vreg), or (NG, 8, 128) for
+        per-group tables (adaptive rans16).
     """
     NG, n_tiles, rows_pad, _ = stream.shape
     tile = min(TILE_STEPS, block_len)
@@ -271,23 +272,29 @@ def rans_decode_tiled(
     )
     # cum values at the two data-independent early probe positions, plus
     # j0 = largest s with cum[s] == 0 (zero-frequency repair, see
-    # aux_from_cum_flat)
+    # aux_from_cum_flat) — per group when tables are per-group
+    if cum_vreg.ndim == 2:  # shared table: broadcast to the group axis
+        cum_vreg = jnp.broadcast_to(cum_vreg, (NG, 8, 128))
     m1 = a_count >> 1
     m2a, m2b = m1 >> 1, m1 + ((a_count - m1) >> 1)
-    flat = cum_vreg.reshape(-1)
-    j0 = jnp.sum((flat[1:a_count] == 0).astype(_U32))
-    probes = jnp.stack([flat[m1], flat[m2a], flat[m2b], j0])
-    aux = aux_from_cum_flat(flat, a_count)
+
+    def per_group(cv):
+        flat = cv.reshape(-1)
+        j0 = jnp.sum((flat[1:a_count] == 0).astype(_U32))
+        return (jnp.stack([flat[m1], flat[m2a], flat[m2b], j0]),
+                aux_from_cum_flat(flat, a_count))
+
+    probes, aux = jax.vmap(per_group)(cum_vreg)
     out = pl.pallas_call(
         kern,
         grid=(NG, n_tiles),
         out_shape=jax.ShapeDtypeStruct((NG, n_tiles, tile * 8, 128), _I32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # probes (4,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # probes (NG, 4)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # starts (NG, NT)
-            pl.BlockSpec((8, 128), lambda g, t: (0, 0),
+            pl.BlockSpec((1, 8, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda g, t: (0, 0),
+            pl.BlockSpec((1, 8, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),

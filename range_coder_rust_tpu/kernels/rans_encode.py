@@ -140,12 +140,12 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
     packed = a_count <= 256
     if packed:
         # per-symbol word cum[s] | (c[s]-1) << 16 (aux_from_cum_flat)
-        w2_rows = _bcast_rows(aux_ref[1:3, :])
+        w2_rows = _bcast_rows(aux_ref[0, 1:3, :])
     else:
         n_rows = 1
         while n_rows * 128 < a_count + 2 and n_rows < 8:
             n_rows *= 2
-        cum_rows = _bcast_rows(cum_ref[:])[:n_rows]
+        cum_rows = _bcast_rows(cum_ref[0])[:n_rows]
 
     @pl.when(tau == 0)
     def _():
@@ -163,8 +163,8 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
         lut_ref[0] = cum_all
         lut_ref[1] = _lookup_rows(cum_rows, sym_ref[0, 0] + 1) - cum_all
     if barrett:
-        ml_rows = _bcast_rows(baux_ref[0:8, :])
-        mhl_rows = _bcast_rows(baux_ref[8:16, :])
+        ml_rows = _bcast_rows(baux_ref[0, 0:8, :])
+        mhl_rows = _bcast_rows(baux_ref[0, 8:16, :])
         lut_ref[1 if packed else 2] = _lookup_rows(ml_rows, sym_ref[0, 0])
         lut_ref[2 if packed else 3] = _lookup_rows(mhl_rows, sym_ref[0, 0])
 
@@ -322,10 +322,13 @@ def rans_encode_tiled(
     Arguments:
       symbols: (NG, L*8, 128) int32 step-major (symbols_to_step_major),
         L == block_len (any multiple of TILE_STEPS, or <= TILE_STEPS).
-      cum_vreg: (8, 128) uint32 (prep_cum_vreg).
+      cum_vreg: (8, 128) uint32 (prep_cum_vreg), or (NG, 8, 128) for
+        PER-GROUP tables (the adaptive rans16 mode — each group of 1024
+        lanes coded with its own order-0 table at full kernel speed).
       enc_aux: (16, 128) uint32 Barrett reciprocal rows (barrett_rows) —
-        enables the exact multiply-shift division; None falls back to the
-        f32 estimate + fixup divide (same outputs, longer serial chain).
+        or (NG, 16, 128) per group — enables the exact multiply-shift
+        division; None falls back to the f32 estimate + fixup divide
+        (same outputs, longer serial chain).
 
     Returns ``(pre, exp, sizes)``:
       pre: (NG, 16, 128) u32 preamble words (lane states, lo/hi pairs);
@@ -351,7 +354,12 @@ def rans_encode_tiled(
     )
     from .rans_decode import aux_from_cum_flat
 
-    aux = aux_from_cum_flat(cum_vreg.reshape(-1), a_count)
+    if cum_vreg.ndim == 2:  # shared table: broadcast to the group axis
+        cum_vreg = jnp.broadcast_to(cum_vreg, (NG, 8, 128))
+    if enc_aux.ndim == 2:
+        enc_aux = jnp.broadcast_to(enc_aux, (NG, 16, 128))
+    aux = jax.vmap(
+        lambda cv: aux_from_cum_flat(cv.reshape(-1), a_count))(cum_vreg)
     # reverse the step-tiles on device (the encoder walks time backward,
     # tile n_tiles-1 first) so the kernel's index maps stay plain forward —
     # reversed index maps triggered nondeterministic pipelining hangs on
@@ -366,11 +374,11 @@ def rans_encode_tiled(
             jax.ShapeDtypeStruct((NG, n_tiles), _I32),
         ),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda g, t: (0, 0),
+            pl.BlockSpec((1, 8, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda g, t: (0, 0),
+            pl.BlockSpec((1, 8, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 128), lambda g, t: (0, 0),
+            pl.BlockSpec((1, 16, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, tile * 8, 128),

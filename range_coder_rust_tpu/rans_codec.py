@@ -180,9 +180,13 @@ def _tile_geometry(block_len: int) -> Tuple[int, int]:
 
 
 def encode_groups(
-    symbols: np.ndarray, table: Pow2Table, block_len: int
+    symbols: np.ndarray, table, block_len: int
 ) -> List[bytes]:
-    """Encode (NG*G, L) padded symbol rows into per-group payload bytes."""
+    """Encode (NG*G, L) padded symbol rows into per-group payload bytes.
+
+    ``table``: one shared Pow2Table, or a LIST of NG tables (one per
+    group — the adaptive rans16 mode; same kernels, group-indexed table
+    blocks)."""
     n_rows, L = symbols.shape
     if L != block_len or n_rows % G:
         raise ConfigError(f"bad group geometry ({n_rows}, {L})")
@@ -190,9 +194,18 @@ def encode_groups(
     tile, NT = _tile_geometry(L)
     cap = tile * 1024           # per-tile capacity (halfwords)
     rows_p = cap // 256         # packed word-rows per tile block
-    cum_vreg = jnp.asarray(prep_cum_vreg(table.cum))
-    enc_aux = jnp.asarray(barrett_rows(table.c))
-    a_count = int(table.c.shape[0])
+    if not isinstance(table, Pow2Table):  # a LIST of per-group tables
+        if len(table) != NG:
+            raise ConfigError(f"{len(table)} tables for {NG} groups")
+        cum_vreg = jnp.asarray(
+            np.stack([prep_cum_vreg(t.cum) for t in table]))
+        enc_aux = jnp.asarray(
+            np.stack([barrett_rows(t.c) for t in table]))
+        a_count = int(table[0].c.shape[0])
+    else:
+        cum_vreg = jnp.asarray(prep_cum_vreg(table.cum))
+        enc_aux = jnp.asarray(barrett_rows(table.c))
+        a_count = int(table.c.shape[0])
     interp = _interpret()
 
     gpc = max(1, _BATCH_SYMBOLS // (G * L))
@@ -203,8 +216,10 @@ def encode_groups(
         nb = stop - start
         trace(f"enc batch {start}: H2D dispatch")
         chunk = jnp.asarray(symbols[start * G : stop * G])
+        cv = cum_vreg if cum_vreg.ndim == 2 else cum_vreg[start:stop]
+        ea = enc_aux if enc_aux.ndim == 2 else enc_aux[start:stop]
         pre, exp, sizes = _encode_device(
-            chunk, cum_vreg, enc_aux, block_len=L, a_count=a_count,
+            chunk, cv, ea, block_len=L, a_count=a_count,
             interpret=interp)
         trace("kernel dispatched; fetching sizes")
         sizes_np = np.asarray(sizes)          # (nb, NT) buffer order
@@ -287,19 +302,30 @@ def _parse_payload(p, block_len: int):
 def decode_groups(
     payloads: List[bytes], table_c: np.ndarray, block_len: int
 ) -> np.ndarray:
-    """Decode per-group payload bytes back to (NG*G, L) symbol rows."""
+    """Decode per-group payload bytes back to (NG*G, L) symbol rows.
+
+    ``table_c``: (A,) shared counts, or (NG, A) per-group counts (the
+    adaptive rans16 mode)."""
     NG = len(payloads)
-    a_count = int(table_c.shape[0])
-    cum = np.concatenate([[0], np.cumsum(table_c)]).astype(np.uint32)
-    cum_vreg = jnp.asarray(prep_cum_vreg(cum))
+    a_count = int(table_c.shape[-1])
+
+    def vreg_of(c):
+        return prep_cum_vreg(
+            np.concatenate([[0], np.cumsum(c)]).astype(np.uint32))
+
+    if table_c.ndim == 2:
+        cum_vreg = jnp.asarray(np.stack([vreg_of(c) for c in table_c]))
+    else:
+        cum_vreg = jnp.asarray(vreg_of(table_c))
     gpc = max(1, _BATCH_SYMBOLS // (G * block_len))
     if NG <= gpc:
         return _decode_batch(payloads, cum_vreg, a_count, block_len)
     out = np.empty((NG * G, block_len), np.int32)
     for start in range(0, NG, gpc):
         stop = min(start + gpc, NG)
+        cv = cum_vreg if cum_vreg.ndim == 2 else cum_vreg[start:stop]
         out[start * G : stop * G] = _decode_batch(
-            payloads[start:stop], cum_vreg, a_count, block_len)
+            payloads[start:stop], cv, a_count, block_len)
     return out
 
 
@@ -376,6 +402,7 @@ def encode(
     table: Pow2Table | None = None,
     block_len: int,
     with_checksums: bool = True,
+    per_group_tables: bool = False,
 ) -> bytes:
     """Compress a 1-D integer symbol array into a rans16 container.
 
@@ -386,9 +413,17 @@ def encode(
     ``table=None`` builds the shared order-0 table ON DEVICE from the
     uploaded data (one-hot MXU histogram) — np.bincount costs seconds at
     GB scale on this class of host, and the data has to go up anyway.
+
+    ``per_group_tables=True`` is the ADAPTIVE rans16 mode: a separate
+    order-0 table per group of ``1024 * L`` symbols (two-pass: device
+    histogram per group, then the same kernels with group-indexed table
+    blocks — adaptive coding at full kernel speed).  Pick a moderate
+    ``block_len`` (e.g. 1024-4096) so groups are small enough to adapt.
     """
     if table is not None and table.k != 16:
         raise ConfigError("rans16 profile requires k == 16")
+    if per_group_tables and table is not None:
+        raise ConfigError("per_group_tables builds its own tables")
     n = int(symbols.size)
     _tile_geometry(block_len)  # validate requested geometry
     L = _shrink_lane_len(n, block_len)
@@ -396,27 +431,46 @@ def encode(
 
     narrow = symbols if alphabet > 256 else symbols.astype(np.uint8)
     data_dev = jnp.asarray(narrow)  # the one upload of the corpus
-    if table is None:
-        from .models.table import build_table_pow2
+    from .models.table import build_table_pow2
 
+    if per_group_tables:
+        # pad with the last data symbol: guaranteed present in the last
+        # group's histogram (a zero-frequency pad would be uncodable)
+        pad_symbol = int(symbols[-1]) if n else 0
+        padded = _pad_rows_device(
+            data_dev, np.asarray(pad_symbol, narrow.dtype),
+            rows=ng * G, length=L)
+        counts = np.asarray(jax.vmap(
+            functools.partial(
+                _histogram_device.__wrapped__, alphabet=alphabet)
+        )(padded.reshape(ng, G * L))).astype(np.uint64)
         if n == 0:
-            counts = np.ones(max(alphabet, 1), np.uint64)
-        else:
-            counts = np.asarray(_histogram_device(
-                data_dev, alphabet=alphabet)).astype(np.uint64)
-        table = build_table_pow2(counts, 16)
-    pad_symbol = int(np.argmax(table.c))
-    padded = _pad_rows_device(
-        data_dev, np.asarray(pad_symbol, narrow.dtype),
-        rows=ng * G, length=L)
-    payloads = encode_groups(padded, table, L)
+            counts[:] = 1
+        tables = [build_table_pow2(c, 16) for c in counts]
+        payloads = encode_groups(padded, tables, L)
+        tables_c = np.stack([t.c for t in tables])
+    else:
+        if table is None:
+            if n == 0:
+                counts = np.ones(max(alphabet, 1), np.uint64)
+            else:
+                counts = np.asarray(_histogram_device(
+                    data_dev, alphabet=alphabet)).astype(np.uint64)
+            table = build_table_pow2(counts, 16)
+        pad_symbol = int(np.argmax(table.c))
+        padded = _pad_rows_device(
+            data_dev, np.asarray(pad_symbol, narrow.dtype),
+            rows=ng * G, length=L)
+        payloads = encode_groups(padded, table, L)
+        tables_c = table.c
     return fmt.pack(
         k=16,
         alphabet=alphabet,
         block_len=L,
         n_symbols=n,
         payloads=payloads,
-        tables_c=table.c,
+        tables_c=tables_c,
+        per_block_tables=per_group_tables,
         with_checksums=with_checksums,
         profile="rans16",
         group_lanes=G,
@@ -431,5 +485,6 @@ def decode(cont: fmt.Container) -> np.ndarray:
         raise ConfigError(
             f"container group_lanes {cont.group_lanes} != supported {G}"
         )
-    rows = decode_groups(cont.payloads, cont.tables_c, cont.block_len)
+    rows = decode_groups(cont.payloads, np.asarray(cont.tables_c),
+                         cont.block_len)
     return rows.reshape(-1)[: cont.n_symbols]

@@ -112,3 +112,36 @@ def test_rans16_absent_leading_run_and_interior():
     data = rng.choice(support, size=1024 * 64, p=p).astype(np.int32)
     blob = api.encode(data, alphabet=256, config=CFG)
     np.testing.assert_array_equal(api.decode(blob), data)
+
+
+def test_rans16_per_group_tables_adaptive():
+    """Adaptive rans16: per-group order-0 tables (two-pass device
+    histogram + the same kernels with group-indexed table blocks) must
+    round-trip, beat the shared table on heterogeneous data, and keep
+    random access working across group boundaries."""
+    rng = np.random.default_rng(5)
+    L = 128
+    zipf = (lambda p: p / p.sum())(1 / np.arange(1, 65) ** 1.5)
+    flat = (lambda p: p / p.sum())(1 / np.arange(1, 65) ** 0.5)
+    g1 = rng.choice(64, size=1024 * L, p=zipf).astype(np.int32)
+    g2 = (128 + rng.choice(64, size=1024 * L, p=flat)).astype(np.int32)
+    data = np.concatenate([g1, g2])
+
+    cfg_a = api.CodecConfig(profile="rans16", block_len=L,
+                            per_group_tables=True)
+    blob_a = api.encode(data, alphabet=256, config=cfg_a)
+    blob_s = api.encode(data, alphabet=256,
+                        config=api.CodecConfig(profile="rans16", block_len=L))
+    cont = fmt.unpack(blob_a)
+    assert cont.per_block_tables and cont.tables_c.shape == (2, 256)
+    np.testing.assert_array_equal(api.decode(blob_a), data)
+    assert len(blob_a) < len(blob_s), "per-group tables must win here"
+    got = api.decode_range(blob_a, 1024 * L - 500, 1000)
+    np.testing.assert_array_equal(got, data[1024 * L - 500: 1024 * L + 500])
+
+
+def test_rans16_per_group_tables_requires_rans16():
+    from range_coder_rust_tpu.errors import ConfigError
+
+    with pytest.raises(ConfigError):
+        api.CodecConfig(profile="planar", per_group_tables=True)
