@@ -57,7 +57,7 @@ _WIN_ROWS = 8
 def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                         stream_ref, out_ref, st_ref, *, a_count: int,
                         tile_steps: int):
-    """One (group, step-tile), tiles in time order.  probe_ref SMEM (4,)
+    """One (group, step-tile), tiles in time order.  probe_ref SMEM (NG, 5)
     u32 = cum values at the two data-independent early probe positions
     plus j0 (see rans_decode_tiled); starts_ref SMEM (NG, NT) i32 = each
     tile's region start offset (halfwords) within its stream block;
@@ -152,11 +152,18 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                         jnp.logical_and(m >= lo, m < lo + 15),
                         slot > c1v)
                     cnt = cnt + ok.astype(_I32)
-            idx = lo + cnt
+            idx0 = lo + cnt
             # zero-frequency repair: slot == 0 with leading absent
             # symbols misroutes under the saturated probe
-            # (aux_from_cum_flat); true symbol index >= j0 = probe_ref[3]
-            idx = jnp.maximum(idx, probe_ref[g_idx, 3].astype(_I32))
+            # (aux_from_cum_flat); true symbol index >= j0 = probe_ref[3].
+            # Repair fires ONLY for slot == 0 (for slot >= 1 the saturated
+            # probes agree with the exact ones), and may land OUTSIDE the
+            # fetched word window — cum/c for that case come from the
+            # dedicated probes (cum[j0] = 0, c[j0] = cum[j0+1] =
+            # probe_ref[4]), not the window.
+            j0 = probe_ref[g_idx, 3].astype(_I32)
+            repaired = idx0 < j0
+            idx = jnp.maximum(idx0, j0)
             # cum[idx] = c1[idx-1]+1 (0 when idx <= j0, where cum==0);
             # cum[idx+1] = c1[idx]+1 (always >= 1, so exact): both words
             # are among the 9 fetched — select by (idx>>1) - base_w + 1
@@ -175,9 +182,9 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                 wsel_m = jnp.where(sel == k, words[k - 1], wsel_m)
             c1_im1 = jnp.where(odd, c1_even, wsel_m >> _U32(16))
             c1_i = jnp.where(odd, c1_odd, c1_even)     # c1[idx]
-            cum_s = jnp.where(idx <= probe_ref[g_idx, 3].astype(_I32),
-                              _U32(0), c1_im1 + _U32(1))
+            cum_s = jnp.where(idx <= j0, _U32(0), c1_im1 + _U32(1))
             cc = (c1_i + _U32(1)) - cum_s
+            cc = jnp.where(repaired, probe_ref[g_idx, 4], cc)
         else:
             for _ in range(it, search_iters):
                 mid = (lo + hi) >> 1
@@ -281,7 +288,10 @@ def rans_decode_tiled(
     def per_group(cv):
         flat = cv.reshape(-1)
         j0 = jnp.sum((flat[1:a_count] == 0).astype(_U32))
-        return (jnp.stack([flat[m1], flat[m2a], flat[m2b], j0]),
+        # probe 4: c[j0] = cum[j0+1] (cum[j0] == 0) — the symbol the
+        # slot == 0 repair decodes, possibly outside the search window
+        cj0 = flat[jnp.minimum(j0 + 1, a_count)]
+        return (jnp.stack([flat[m1], flat[m2a], flat[m2b], j0, cj0]),
                 aux_from_cum_flat(flat, a_count))
 
     probes, aux = jax.vmap(per_group)(cum_vreg)

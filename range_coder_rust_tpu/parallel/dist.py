@@ -79,7 +79,8 @@ def make_sharded_codec(
 
 
 def make_sharded_rans16(
-    mesh: Mesh, *, block_len: int, a_count: int
+    mesh: Mesh, *, block_len: int, a_count: int,
+    per_group_tables: bool = False
 ) -> Tuple[Callable, Callable]:
     """Mesh-sharded rans16 kernels: groups are the data-parallel axis.
 
@@ -106,6 +107,9 @@ def make_sharded_rans16(
 
     P = jax.sharding.PartitionSpec
     interp = jax.default_backend() != "tpu"
+    # per-group (adaptive) tables ride the group axis with their groups;
+    # a shared table is replicated
+    t_spec = P(AXIS) if per_group_tables else P()
 
     def enc_local(rows, cum_vreg, enc_aux):
         sym = symbols_to_step_major(rows.astype(jnp.int32))
@@ -117,7 +121,7 @@ def make_sharded_rans16(
     # metadata, and the kernels touch no collectives anyway
     enc = jax.jit(jax.shard_map(
         enc_local, mesh=mesh,
-        in_specs=(P(AXIS), P(), P()),
+        in_specs=(P(AXIS), t_spec, t_spec),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,
     ))
@@ -129,7 +133,7 @@ def make_sharded_rans16(
 
     dec = jax.jit(jax.shard_map(
         dec_local, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), t_spec),
         out_specs=P(AXIS),
         check_vma=False,
     ))

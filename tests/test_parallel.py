@@ -143,3 +143,55 @@ def test_sharded_rans16_matches_single_device():
     )
     np.testing.assert_array_equal(
         np.asarray(out).reshape(NG * G, L), data)
+
+
+def test_sharded_rans16_per_group_tables():
+    """Adaptive rans16 sharded: each device carries its own group AND its
+    own table (tables ride the group axis); outputs bit-match the
+    single-device per-group pipeline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from range_coder_rust_tpu import rans_codec
+    from range_coder_rust_tpu.kernels.rans_encode import barrett_rows
+    from range_coder_rust_tpu.kernels.vreg import prep_cum_vreg
+    from range_coder_rust_tpu.models.table import table_from_data_pow2
+    from range_coder_rust_tpu.parallel import (
+        block_sharding, default_mesh, make_sharded_rans16)
+
+    n_dev = 8
+    mesh = default_mesh(jax.devices()[:n_dev])
+    G, L = 1024, 64
+    NG = n_dev
+    rng = np.random.default_rng(23)
+    # a different distribution per group
+    data = np.concatenate([
+        ((g * 13) + rng.integers(0, 40, G * L)) % 256
+        for g in range(NG)
+    ]).astype(np.int32).reshape(NG * G, L)
+    tables = [table_from_data_pow2(data[g * G:(g + 1) * G], 256, 16)
+              for g in range(NG)]
+    cum_vregs = jnp.asarray(np.stack([prep_cum_vreg(t.cum) for t in tables]))
+    eauxs = jnp.asarray(np.stack([barrett_rows(t.c) for t in tables]))
+
+    enc, _ = make_sharded_rans16(
+        mesh, block_len=L, a_count=256, per_group_tables=True)
+    sh = block_sharding(mesh)
+    pre, exp, sizes = enc(
+        jax.device_put(jnp.asarray(data), sh),
+        jax.device_put(cum_vregs, sh),
+        jax.device_put(eauxs, sh),
+    )
+    pre1, exp1, sizes1 = rans_codec._encode_device(
+        jnp.asarray(data), cum_vregs, eauxs, block_len=L, a_count=256,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(sizes), np.asarray(sizes1))
+    np.testing.assert_array_equal(np.asarray(exp), np.asarray(exp1))
+
+    # full adaptive container path round-trips the same data
+    blob = rans_codec.encode(
+        data.reshape(-1), alphabet=256, block_len=L, per_group_tables=True)
+    from range_coder_rust_tpu import format as fmt
+    np.testing.assert_array_equal(
+        rans_codec.decode(fmt.unpack(blob)), data.reshape(-1))

@@ -145,3 +145,15 @@ def test_rans16_per_group_tables_requires_rans16():
 
     with pytest.raises(ConfigError):
         api.CodecConfig(profile="planar", per_group_tables=True)
+
+
+@pytest.mark.parametrize("lo", [26, 39, 91, 213])
+def test_rans16_shifted_support(lo):
+    """Supports starting above 16 absent symbols: the slot==0 repair can
+    land OUTSIDE the parallel count round's fetched word window, so its
+    c value must come from the dedicated probe (round-3 regression — the
+    windowed extraction read garbage and ~36% of symbols decoded wrong)."""
+    rng = np.random.default_rng(lo)
+    data = ((lo + rng.integers(0, 40, 1024 * 64)) % 256).astype(np.int32)
+    blob = api.encode(data, alphabet=256, config=CFG)
+    np.testing.assert_array_equal(api.decode(blob), data)
