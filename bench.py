@@ -349,7 +349,7 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
         a_row = (H >> 8).astype(np.int64)
         b_row = (H + flat_sz + 255) >> 8
         rpad = -(-(int((b_row - a_row).max(initial=1)) + 8) // 16) * 16
-        R = -(-max(len(region) // 512, 1) // 8) * 8
+        R = -(-max(-(-len(region) // 512), 1) // 8) * 8
         ridx = np.minimum(a_row[:, None] + np.arange(rpad)[None, :],
                           max(R - 1, 0)).astype(np.int32).reshape(-1)
         starts = (H & 255).astype(np.int32).reshape(nb, NT)

@@ -157,3 +157,12 @@ def test_rans16_shifted_support(lo):
     data = ((lo + rng.integers(0, 40, 1024 * 64)) % 256).astype(np.int32)
     blob = api.encode(data, alphabet=256, config=CFG)
     np.testing.assert_array_equal(api.decode(blob), data)
+
+
+def test_rans16_wide_alphabet_api():
+    """Alphabets above 256 take the generic search path end-to-end
+    through the api (device histogram, u16 output finalize)."""
+    rng = np.random.default_rng(31)
+    data = rng.integers(0, 300, 1024 * 64 + 123).astype(np.int32)
+    blob = api.encode(data, alphabet=300, config=CFG)
+    np.testing.assert_array_equal(api.decode(blob), data)
