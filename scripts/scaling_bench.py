@@ -34,6 +34,12 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+# this image's sitecustomize pins jax_platforms=axon,cpu via jax.config,
+# which overrides the env var — force the CPU backend explicitly before
+# any device query (same dance as __graft_entry__.dryrun_multichip)
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
