@@ -40,6 +40,8 @@ def _cmd_encode(args) -> int:
     else:
         from .api import CodecConfig, encode
 
+        if args.profile is None:
+            args.profile = "rans16" if args.k == 16 else "planar"
         blob = encode(
             data,
             alphabet=256,
@@ -156,9 +158,10 @@ def main(argv=None) -> int:
     pe.add_argument("--block-len", type=int, default=None,
                     help="symbols per block/lane (default: per-profile)")
     pe.add_argument("--profile", choices=["rans16", "planar"],
-                    default="rans16",
-                    help="rans16 = TPU-fast interleaved rANS (default); "
-                         "planar = byte-exact reference-semantics streams")
+                    default=None,
+                    help="rans16 = TPU-fast interleaved rANS (default when "
+                         "k == 16); planar = byte-exact reference-semantics "
+                         "streams (default for k < 16)")
     pe.add_argument("--raw-total", action="store_true",
                     help="raw-histogram table (arbitrary u32 total), "
                          "planar only")
