@@ -253,7 +253,7 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
 
     cum_vreg = jax.device_put(jnp.asarray(prep_cum_vreg(t.cum)), dev)
     enc_aux = jax.device_put(jnp.asarray(barrett_rows(t.c)), dev)
-    gpc = max(1, rans_codec._BATCH_SYMBOLS // (G * L))
+    gpc = rans_codec._groups_per_call(L)
     n_batches = -(-ng // gpc)
     tile, NT = rans_codec._tile_geometry(L)
 

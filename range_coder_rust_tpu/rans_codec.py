@@ -61,6 +61,15 @@ G = rans.GROUP_LANES
 #: step-major symbols)
 _BATCH_SYMBOLS = 128 << 20
 
+#: and a group-count bound: very small lane lengths would otherwise put
+#: thousands of groups in one grid, overflowing the 1 MB SMEM budget
+#: (per-grid bookkeeping + the (NG, NT) size/start arrays)
+_BATCH_GROUPS = 512
+
+
+def _groups_per_call(L: int) -> int:
+    return max(1, min(_BATCH_SYMBOLS // (G * L), _BATCH_GROUPS))
+
 #: row-count bucket for the compacted-stream gather (limits recompiles)
 _ROWS_BUCKET = 4096
 
@@ -208,7 +217,7 @@ def encode_groups(
         a_count = int(table.c.shape[0])
     interp = _interpret()
 
-    gpc = max(1, _BATCH_SYMBOLS // (G * L))
+    gpc = _groups_per_call(L)
     trace = _tracer()
     payloads: List[bytes] = []
     for start in range(0, NG, gpc):
@@ -317,7 +326,7 @@ def decode_groups(
         cum_vreg = jnp.asarray(np.stack([vreg_of(c) for c in table_c]))
     else:
         cum_vreg = jnp.asarray(vreg_of(table_c))
-    gpc = max(1, _BATCH_SYMBOLS // (G * block_len))
+    gpc = _groups_per_call(block_len)
     if NG <= gpc:
         return _decode_batch(payloads, cum_vreg, a_count, block_len)
     out = np.empty((NG * G, block_len), np.int32)
