@@ -72,9 +72,9 @@ def test_rans16_long_lane_single_call_matches_spec():
     np.testing.assert_array_equal(x8.reshape(-1).view("<u8"), states)
     spec_regions = b"".join(r.astype("<u2").tobytes() for r in sregions)
     assert bytes(region) == spec_regions
-    # tile boundaries: sizes[t] = halfwords of steps [64t, 64t+64)
+    # tile boundaries: sizes[t] = halfwords of the t-th TILE_STEPS window
     np.testing.assert_array_equal(
-        sizes, counts.reshape(4, 64).sum(axis=1))
+        sizes, counts.reshape(4, rans_codec.TILE_STEPS).sum(axis=1))
 
     rows = rans_codec.decode_groups(payloads, t.c, L)
     np.testing.assert_array_equal(rows, data)
