@@ -196,7 +196,7 @@ def _cold_compile_s(jax, jnp, rans_codec, L, NT):
         rans_codec._encode_device.lower(
             rows, cum, block_len=L, a_count=256, interpret=False).compile()
         enc_s = time.time() - t0
-        exp = jax.ShapeDtypeStruct((ng, NT, 528, 128), jnp.uint32)
+        exp = jax.ShapeDtypeStruct((ng, NT, 512, 128), jnp.uint32)
         ridx = jax.ShapeDtypeStruct((90112,), jnp.int32)
         t0 = time.time()
         pack_and_gather.lower(exp, ridx, rows_out=90112).compile()
@@ -218,21 +218,17 @@ def _cold_compile_s(jax, jnp, rans_codec, L, NT):
 
 def _enc_row_idx(sizes_np, nb, NT, tile, rans_codec):
     """Compaction row-index from the kernel's per-tile sizes (numpy,
-    mirrors rans_codec.encode_groups)."""
+    mirrors rans_codec.encode_groups — regions LEFT-aligned per tile)."""
     import numpy as np
 
-    cap = tile * 1024
-    rows_p = cap // 256
     s_time = sizes_np[:, ::-1]
-    start_row = (cap - s_time) >> 8
-    counts = (rows_p - start_row).reshape(-1)
+    counts = ((s_time + 255) >> 8).reshape(-1)
     base = ((np.arange(nb)[:, None] * NT + np.arange(NT)[None, ::-1])
             * (rans_codec._rows_e(tile) // 2)).reshape(-1)
     total = int(counts.sum())
     csum = np.cumsum(counts) - counts
     offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
-    row_idx = (np.repeat(base + start_row.reshape(-1), counts)
-               + offs).astype(np.int32)
+    row_idx = (np.repeat(base, counts) + offs).astype(np.int32)
     rows_out = -(-max(total, 1) // rans_codec._ROWS_BUCKET) \
         * rans_codec._ROWS_BUCKET
     return np.pad(row_idx, (0, rows_out - total)), rows_out

@@ -11,12 +11,13 @@ stage.  Per step, for all 1024 lanes of a group:
      16-bit-quotient stages: an f32 estimate with a safety margin and three
      exact fixup steps each (the encode-side analogue of ops/u64.div_small_q);
   4. state update ``x = (q << 16) | (cum + r)``;
-  5. the emitted halfwords are compacted to flat-lane order
-     (kernels/compact_flat.py) and blended into the tile's stream buffer at
-     the decrementing region cursor — regions are written back-to-front, so
-     each tile's finished region sits right-aligned in its block.
+  5. the emitted halfword candidates are PARKED per step (``h | emit<<16``
+     into a VMEM scratch row block at the step's time index), and after
+     the step loop ONE whole-tile stream compaction
+     (kernels/compact_flat.compact_flat_tile) left-aligns every emission
+     into the tile's private output block in region order.
 
-## Tile-local output (round 3)
+## Tile-local output (round 4: two-phase, amortized compaction)
 
 Each (group, 64-step tile) grid step owns a PRIVATE output block sized for
 the worst case (64 steps x 1024 lanes x at most one halfword per lane-step
@@ -26,6 +27,19 @@ retries, no entropy-based sizing.  Per-tile region sizes are returned
 the decoder slice its per-tile windows STATICALLY and lets arbitrarily
 long lanes run in ONE kernel invocation (no VMEM whole-stream cap, no
 host-chained segment calls — the round-2 design both of those limited).
+
+Round 3 compacted and blended each step's emissions inside the step loop:
+a 10-round routing pass + MXU prefix + two dynamic blend-window RMWs per
+step, which the round-4 hardware ablation (scripts/encode_ablation.py)
+measured at ~52 of the kernel's 66 ms at 64 MB — the step loop is LATENCY
+bound, so work on its serial chain costs wall-clock one-for-one.  Round 4
+runs the state chain alone (phase 1), then compacts the whole tile's
+emissions in ONE ``log2(tile*1024)``-round pass (phase 2) — per-step
+routing depth drops from 10 rounds to 16/64, the per-step MXU prefix
+becomes one per-tile prefix, and the region lands left-aligned with a
+single static bulk write (no dynamic rolls, no RMW blends).  The region
+bytes and sizes are IDENTICAL to round 3's — only the in-block alignment
+changed, which the host gather (rans_codec) accounts for.
 
 Symbol tiles are fed in plain buffer order with forward index maps; the
 time reversal lives entirely in the host-side gather that assembles the
@@ -48,8 +62,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.u64 import mul32_wide
-from .compact_flat import compact_flat_packed, flat_roll_dyn_mosaic
-from .vreg import _bcast_rows, _lookup_rows
+from .compact_flat import compact_flat_tile
+from .vreg import _bcast_rows, _lane_prefix_flat, _lookup_rows
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -64,8 +78,9 @@ G = 1024
 #: halfword per step, so TILE_STEPS * G is a hard worst case — overflow
 #: cannot happen
 CAP_HW = TILE_STEPS * G
-#: expanded rows per tile block: CAP_HW u32 slots + 16 blend-window slack
-ROWS_E = CAP_HW // 128 + 16
+#: expanded rows per tile block (one u32 slot per region halfword; the
+#: region is LEFT-aligned at slot 0, so no blend-window slack is needed)
+ROWS_E = CAP_HW // 128
 
 
 def _to_f32(v: jax.Array) -> jax.Array:
@@ -122,17 +137,27 @@ def barrett_rows(c) -> "np.ndarray":
 
 
 def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
-                        pre_ref, sz_ref, st_ref, lut_ref, *, a_count: int,
-                        tile_steps: int, n_tiles: int, barrett: bool):
+                        pre_ref, sz_ref, st_ref, lut_ref, hv_ref, *,
+                        a_count: int, tile_steps: int, n_tiles: int,
+                        barrett: bool, ablate: str = "none"):
     """One (group, step-tile), tiles walked in buffer order (= time
-    reversed).  cum_ref (8,128) u32; aux_ref (8,128) packed lookup rows
+    reversed).  Two phases: (1) the sequential per-step state chain, which
+    parks each step's candidate halfword + emit flag in ``hv_ref``;
+    (2) ONE whole-tile stream compaction (compact_flat_tile) writing the
+    region LEFT-aligned into the private tile block — the round-3 design
+    ran a 10-round routing pass, an MXU prefix and two blend-window RMWs
+    *per step*, which the encode ablation measured at ~52 of 66 ms.
+
+    cum_ref (8,128) u32; aux_ref (8,128) packed lookup rows
     (rans_decode.aux_from_cum_flat); sym_ref (1, tile_steps*8, 128) i32
     step-ascending rows of time-tile ``n_tiles-1-tau``; exp_ref
-    (1, ROWS_E, 128) u32 halfword-expanded PRIVATE tile block (region ends
-    right-aligned at CAP_HW); pre_ref (1, 16, 128) u32 preamble words
+    (1, ROWS_E, 128) u32 halfword-expanded PRIVATE tile block (region
+    LEFT-aligned at slot 0); pre_ref (1, 16, 128) u32 preamble words
     (written at the last tile); sz_ref SMEM (NG, n_tiles) i32 per-tile
     region sizes in halfwords, buffer order; st_ref VMEM scratch
-    (2, 8, 128) u32 state limbs carried across tiles."""
+    (2, 8, 128) u32 state limbs carried across tiles; hv_ref VMEM scratch
+    (tile_steps*8, 128) u32 per-step emissions ``h | emit << 16`` in
+    time-ascending row blocks."""
     tau = pl.program_id(1)
     g_idx = pl.program_id(0)
     cap_hw = tile_steps * 1024
@@ -156,23 +181,33 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
     # coder state — hoist the lookup out of the (latency-bound) step loop
     # as one batched gather over the whole tile, staged through VMEM
     # scratch (Mosaic cannot dynamic-slice a value, only a ref)
-    if packed:
+    if ablate == "nolut":
+        pass  # constants replace every table access (perf forensics only)
+    elif packed:
         lut_ref[0] = _lookup_rows(w2_rows, sym_ref[0, 0])  # (tile*8, 128)
     else:
         cum_all = _lookup_rows(cum_rows, sym_ref[0, 0])
         lut_ref[0] = cum_all
         lut_ref[1] = _lookup_rows(cum_rows, sym_ref[0, 0] + 1) - cum_all
-    if barrett:
+    if barrett and ablate != "nolut":
         ml_rows = _bcast_rows(baux_ref[0, 0:8, :])
         mhl_rows = _bcast_rows(baux_ref[0, 8:16, :])
         lut_ref[1 if packed else 2] = _lookup_rows(ml_rows, sym_ref[0, 0])
         lut_ref[2 if packed else 3] = _lookup_rows(mhl_rows, sym_ref[0, 0])
 
+    # ablation constants: a fixed symbol (c=300) replacing every table read
+    _abl_d = 300
+    _abl_lg = (_abl_d - 1).bit_length()
+    _abl_m = (1 << (48 + _abl_lg)) // _abl_d + 1
+
     def body(j, carry):
-        xhi, xlo, ch = carry
+        xhi, xlo = carry
         t_local = tile_steps - 1 - j
 
-        if packed:
+        if ablate == "nolut":
+            cum_s = jnp.full((8, 128), 1000, _U32)
+            cc = jnp.full((8, 128), _abl_d, _U32)
+        elif packed:
             w2 = lut_ref[0, pl.ds(t_local * 8, 8), :]
             cum_s = w2 & _U32(0xFFFF)
             cc = (w2 >> _U32(16)) + _U32(1)
@@ -189,13 +224,23 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
         xlo1 = jnp.where(emit, exlo, xlo)
 
         # 3. q = x / c, r = x % c  (x < c * 2^32 now, so q < 2^32)
-        if barrett:
+        if ablate == "nodiv":
+            # perf forensics: a dependency-preserving stand-in for the
+            # divide (outputs are garbage; only the timing is meaningful)
+            q_lo = xlo1 ^ (xhi1 << _U32(1))
+            r_fin = xlo1 & _U32(0xFF)
+        elif barrett:
             # exact multiply-shift (barrett_rows): q = (x*m) >> (48+l),
             # a short tree of independent 32x32 products — no estimate/
             # fixup chain, no c == 2^16 special case
-            base = 1 if packed else 2
-            ml = lut_ref[base, pl.ds(t_local * 8, 8), :]
-            mhl = lut_ref[base + 1, pl.ds(t_local * 8, 8), :]
+            if ablate == "nolut":
+                ml = jnp.full((8, 128), _abl_m & 0xFFFFFFFF, _U32)
+                mhl = jnp.full(
+                    (8, 128), (_abl_m >> 32) | (_abl_lg << 20), _U32)
+            else:
+                base = 1 if packed else 2
+                ml = lut_ref[base, pl.ds(t_local * 8, 8), :]
+                mhl = lut_ref[base + 1, pl.ds(t_local * 8, 8), :]
             mh = mhl & _U32(0xFFFFF)         # m >> 32, < 2^17
             sh = mhl >> _U32(20)             # l in [0, 16]
             ac_hi, ac_lo = mul32_wide(xlo1, ml)
@@ -258,32 +303,36 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
         nxhi = q_lo >> _U32(16)
         nxlo = (q_lo << _U32(16)) | (cum_s + r_fin)
 
-        # 5. write the region: compacted halfwords at [ch - s_t, ch)
-        comp, rank, s_t = compact_flat_packed(h, emit)
-        ch2 = ch - s_t.astype(_I32)
+        # 5. park this step's emission for the whole-tile compaction —
+        # time-ascending row blocks (t_local), which IS region order
+        hv_ref[pl.ds(t_local * 8, 8), :] = h | (
+            emit.astype(_U32) << _U32(16))
 
-        row0 = ch2 >> 7  # 128 expanded slots per row
-        lb = ch2 - (row0 << 7)  # in [0, 128)
-        placed = flat_roll_dyn_mosaic(comp, lb)
-        flat = (
-            jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
-            + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
-        )
-        hi_end = lb + s_t.astype(_I32)
-        win0 = exp_ref[0, 0, pl.ds(row0, 8), :]
-        m0 = jnp.logical_and(flat >= lb, flat < hi_end)
-        exp_ref[0, 0, pl.ds(row0, 8), :] = jnp.where(m0, placed, win0)
-        win1 = exp_ref[0, 0, pl.ds(row0 + 8, 8), :]
-        m1 = (flat + 1024) < hi_end
-        exp_ref[0, 0, pl.ds(row0 + 8, 8), :] = jnp.where(m1, placed, win1)
+        return (nxhi, nxlo)
 
-        return (nxhi, nxlo, ch2)
-
-    xhi, xlo, ch = jax.lax.fori_loop(
-        0, tile_steps, body, (st_ref[0], st_ref[1], jnp.int32(cap_hw))
+    xhi, xlo = jax.lax.fori_loop(
+        0, tile_steps, body, (st_ref[0], st_ref[1])
     )
     st_ref[0], st_ref[1] = xhi, xlo
-    sz_ref[g_idx, tau] = cap_hw - ch
+
+    # ---- phase 2: ONE whole-tile compaction, region left-aligned ----
+    hv = hv_ref[:, :]
+    if ablate == "noprefix":
+        exp_ref[0, 0, 0:8, :] = hv[0:8] ^ hv[tile_steps * 8 - 8:]
+        sz_ref[g_idx, tau] = jnp.int32(cap_hw // 2)
+    else:
+        act = (hv >> _U32(16)).astype(_I32)
+        rank, total = _lane_prefix_flat(act)
+        sz_ref[g_idx, tau] = total
+        if ablate == "nocompact":
+            exp_ref[0, 0, 0:8, :] = (
+                hv[0:8] + rank[0:8].astype(_U32) ^ hv[tile_steps * 8 - 8:])
+        else:
+            comp = compact_flat_tile(hv, act == 1, rank)
+            if ablate == "nowrite":
+                exp_ref[0, 0, 0:8, :] = comp[0:8] ^ comp[tile_steps * 8 - 8:]
+            else:
+                exp_ref[0, 0, :, :] = comp
 
     @pl.when(tau == n_tiles - 1)
     def _():
@@ -306,7 +355,7 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "a_count", "interpret"),
+    static_argnames=("block_len", "a_count", "interpret", "ablate"),
 )
 def rans_encode_tiled(
     symbols: jax.Array,
@@ -316,6 +365,7 @@ def rans_encode_tiled(
     block_len: int,
     a_count: int,
     interpret: bool = False,
+    ablate: str = "none",
 ):
     """Encode step-major symbol tiles into per-tile rans16 region blocks.
 
@@ -333,8 +383,8 @@ def rans_encode_tiled(
     Returns ``(pre, exp, sizes)``:
       pre: (NG, 16, 128) u32 preamble words (lane states, lo/hi pairs);
       exp: (NG, NT, ROWS_E_t, 128) u32 halfword-expanded tile blocks —
-        tile k holds TIME-tile ``NT-1-k``, its region right-aligned at
-        slots ``[cap - sizes[g, k], cap)`` with ``cap = tile*1024``;
+        tile k holds TIME-tile ``NT-1-k``, its region LEFT-aligned at
+        slots ``[0, sizes[g, k])``;
       sizes: (NG, NT) int32 region sizes in halfwords, buffer order.
     """
     NG, rows, _ = symbols.shape
@@ -344,13 +394,13 @@ def rans_encode_tiled(
     if block_len % tile:
         raise ValueError(f"block_len {block_len} % tile {tile} != 0")
     n_tiles = block_len // tile
-    rows_e = tile * 1024 // 128 + 16
+    rows_e = tile * 1024 // 128
     barrett = enc_aux is not None
     if not barrett:
         enc_aux = jnp.zeros((16, 128), _U32)
     kern = functools.partial(
         _rans_encode_kernel, a_count=a_count, tile_steps=tile,
-        n_tiles=n_tiles, barrett=barrett,
+        n_tiles=n_tiles, barrett=barrett, ablate=ablate,
     )
     from .rans_decode import aux_from_cum_flat
 
@@ -396,6 +446,7 @@ def rans_encode_tiled(
         scratch_shapes=[
             pltpu.VMEM((2, 8, 128), _U32),
             pltpu.VMEM((4, tile * 8, 128), _U32),  # hoisted per-step tables
+            pltpu.VMEM((tile * 8, 128), _U32),     # per-step emissions
         ],
         interpret=interpret,
     )(cum_vreg, aux, enc_aux, sym4)

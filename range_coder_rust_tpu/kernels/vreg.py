@@ -58,31 +58,34 @@ def _bcast_rows(tile: jax.Array) -> List[jax.Array]:
 
 
 def _lane_prefix_flat(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Exclusive prefix sum of (8, 128) in flat (sublane-major) lane order,
-    plus the total (scalar).
+    """Exclusive prefix sum of (R, 128) in flat (sublane-major) lane order,
+    plus the total (scalar).  R = 8 is the per-step decode-refill case;
+    the encode kernel calls it once per TILE on (tile_steps*8, 128).
 
     Implemented as two triangular-ones MXU contractions instead of
     log-step pad/slice shifts — Mosaic rejects sublane-dim concat/pad with
     offset mismatches.  Exactness: ``n`` is a 0/1 flag vector in every
     rans16 use (one potential emission/refill per lane per step), the
-    triangular/ones operands are 0/1 constants — both exact in bfloat16 —
-    and accumulation is f32 (integers up to 2^24 exact), so a single
-    bf16 MXU pass (Precision.DEFAULT) computes exact counts; HIGHEST
-    would burn 3-6 passes for nothing.
+    triangular/ones operands are 0/1 constants, and per-row partial sums
+    are <= 128 — all exact in bfloat16 — with accumulation in f32
+    (integers up to 2^24 exact, totals here <= 2^17), so a single bf16
+    MXU pass (Precision.DEFAULT) computes exact counts; HIGHEST would
+    burn 3-6 passes for nothing.
     """
+    R, C = n.shape
     nf = n.astype(jnp.float32)
     # within-row inclusive prefix: inc[s, l] = sum_{l' <= l} n[s, l']
-    iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    jota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    jota = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
     upper = (iota <= jota).astype(jnp.float32)  # U[l', l] = l' <= l
     inc = jax.lax.dot(nf, upper, preferred_element_type=jnp.float32)
     # rows strictly above: row_excl[s] = sum_{s' < s} sum_l n[s', l]
     rows = jax.lax.dot(
-        nf, jnp.ones((128, 128), jnp.float32),
+        nf, jnp.ones((C, C), jnp.float32),
         preferred_element_type=jnp.float32,
     )  # rows[s, l] = row total of s, broadcast over l
-    si = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
-    sj = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+    si = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     lstrict = (si > sj).astype(jnp.float32)  # L[s, s'] = s' < s
     row_excl = jax.lax.dot(
         lstrict, rows, preferred_element_type=jnp.float32)

@@ -15,12 +15,12 @@ The encoder emits, per 64-step tile, the halfwords the decoder refills
 during that tile; the container records each tile's region size, so both
 directions move through the device as STATICALLY-shaped tile windows:
 
-* encode: the kernel writes each tile's region right-aligned into a
+* encode: the kernel writes each tile's region LEFT-aligned into a
   private worst-case-sized block (overflow impossible); one device
   gather compacts the 512-B rows covering every region into container
-  order, and the host drops the per-tile sub-row junk with one boolean
-  mask — no per-group Python assembly, and the D2H transfer is ~the
-  compressed size.
+  order, and the host drops the per-tile sub-row junk suffix with one
+  boolean mask — no per-group Python assembly, and the D2H transfer is
+  ~the compressed size.
 * decode: the host computes each tile's covering rows + start offset
   from the recorded sizes; one device gather pads the uploaded stream
   into per-tile windows; the kernel walks them with a per-tile SMEM
@@ -193,7 +193,7 @@ def _fetch(dev_array) -> np.ndarray:
 
 
 def _rows_e(tile: int) -> int:
-    return tile * 1024 // 128 + 16
+    return tile * 1024 // 128
 
 
 def _tile_geometry(block_len: int) -> Tuple[int, int]:
@@ -219,8 +219,6 @@ def encode_groups(
         raise ConfigError(f"bad group geometry ({n_rows}, {L})")
     NG = n_rows // G
     tile, NT = _tile_geometry(L)
-    cap = tile * 1024           # per-tile capacity (halfwords)
-    rows_p = cap // 256         # packed word-rows per tile block
     if not isinstance(table, Pow2Table):  # a LIST of per-group tables
         if len(table) != NG:
             raise ConfigError(f"{len(table)} tables for {NG} groups")
@@ -254,10 +252,10 @@ def encode_groups(
         pre_np = np.asarray(pre)              # (nb, 16, 128) u32
         trace("preamble fetched")
 
-        # tile k of the exp buffer holds TIME-tile NT-1-k
+        # tile k of the exp buffer holds TIME-tile NT-1-k; regions are
+        # LEFT-aligned at slot 0 of their tile block (round-4 kernel)
         s_time = sizes_np[:, ::-1]            # (nb, NT) halfwords, time order
-        start_row = (cap - s_time) >> 8       # first covering packed row
-        counts = (rows_p - start_row).reshape(-1)          # rows per tile
+        counts = ((s_time + 255) >> 8).reshape(-1)         # rows per tile
         base = (
             (np.arange(nb)[:, None] * NT + np.arange(NT)[None, ::-1])
             * (_rows_e(tile) // 2)
@@ -265,8 +263,7 @@ def encode_groups(
         total = int(counts.sum())
         csum = np.cumsum(counts) - counts
         offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
-        row_idx = (np.repeat(base + start_row.reshape(-1), counts) + offs
-                   ).astype(np.int32)
+        row_idx = (np.repeat(base, counts) + offs).astype(np.int32)
         rows_out = -(-max(total, 1) // _ROWS_BUCKET) * _ROWS_BUCKET
         row_idx = np.pad(row_idx, (0, rows_out - total))
 
@@ -275,13 +272,16 @@ def encode_groups(
         flat_hw = _fetch(words.reshape(-1)).view("<u2")[: total * 256]
         trace("compact stream fetched")
 
-        # drop each tile's sub-row junk prefix ((cap - s) & 255 halfwords)
-        junk = ((cap - s_time) & 255).reshape(-1)
-        span_start = csum * 256
+        # drop each tile's sub-row junk SUFFIX ((-s) % 256 halfwords),
+        # vectorized (one repeat/arange, no per-tile Python loop)
+        s_flat = s_time.reshape(-1)
+        junk = counts * 256 - s_flat
         keep = np.ones(total * 256, bool)
-        for a, j in zip(span_start.tolist(), junk.tolist()):
-            if j:
-                keep[a : a + j] = False
+        jc = np.cumsum(junk) - junk
+        drop = (np.repeat(csum * 256 + s_flat, junk)
+                + (np.arange(int(junk.sum()), dtype=np.int64)
+                   - np.repeat(jc, junk)))
+        keep[drop] = False
         region_hw = flat_hw[keep]
         trace("junk mask applied")
 

@@ -80,3 +80,32 @@ def test_compact_flat_packed_matches_compact_flat():
         np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
         np.testing.assert_array_equal(
             np.asarray(c0).reshape(-1)[:n], np.asarray(c1).reshape(-1)[:n])
+
+
+def test_compact_flat_tile_matches_compress():
+    """Whole-tile zombie-routing compaction (round 4): the first ``total``
+    flat values must equal NumPy compress for any (R, 128) buffer up to
+    the 65536-element cap, across densities and adversarial patterns."""
+    import jax.numpy as jnp
+    from range_coder_rust_tpu.kernels.compact_flat import compact_flat_tile
+    from range_coder_rust_tpu.kernels.vreg import _lane_prefix_flat
+
+    rng = np.random.default_rng(23)
+    for R in (8, 16, 64, 512):
+        n = R * 128
+        vals = rng.integers(0, 1 << 16, (R, 128)).astype(np.uint32)
+        masks = [
+            rng.random((R, 128)) < d for d in (0.0, 0.05, 0.33, 0.95, 1.0)
+        ] + [
+            np.arange(n).reshape(R, 128) == n - 1,     # single last element
+            np.arange(n).reshape(R, 128) == 0,         # single first
+            (np.arange(n).reshape(R, 128) // 128) % 2 == 1,  # odd rows
+        ]
+        for mask in masks:
+            act = jnp.asarray(mask.astype(np.int32))
+            rank, total = _lane_prefix_flat(act)
+            got = np.asarray(compact_flat_tile(
+                jnp.asarray(vals), jnp.asarray(mask), rank)).reshape(-1)
+            want = vals.reshape(-1)[mask.reshape(-1)]
+            assert int(total) == want.size
+            np.testing.assert_array_equal(got[: want.size], want)
