@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import u64 as u64ops
-from .vreg import _bcast_rows, _lane_prefix_flat, _lookup_rows
+from .vreg import (
+    _bcast_rows, _lane_prefix_flat, _lane_prefix_flat_vpu, _lookup_rows)
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -56,7 +57,7 @@ _WIN_ROWS = 8
 
 def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                         stream_ref, out_ref, st_ref, *, a_count: int,
-                        tile_steps: int):
+                        tile_steps: int, ablate: str = "none"):
     """One (group, step-tile), tiles in time order.  probe_ref SMEM (NG, 5)
     u32 = cum values at the two data-independent early probe positions
     plus j0 (see rans_decode_tiled); starts_ref SMEM (NG, NT) i32 = each
@@ -112,7 +113,20 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
         lo = jnp.zeros((8, 128), _I32)
         hi = jnp.full((8, 128), a_count, _I32)
         it = 0
-        if search_iters >= 2:
+        if ablate == "nosearch":
+            # perf forensics: skip the whole symbol search + cum/c lookup
+            # (outputs garbage; constants keep the state chain shaped)
+            idx = (slot & _U32(a_count - 1 if a_count & (a_count - 1) == 0
+                               else 127)).astype(_I32)
+            cum_s = jnp.full((8, 128), 1000, _U32)
+            cc = jnp.full((8, 128), 300, _U32)
+        elif ablate == "noprobes" and packed and search_iters == 8:
+            # skip the two scalar + two gather probe levels; fake lo from
+            # slot bits (garbage interval, same parallel-round cost)
+            lo = (slot >> _U32(12)).astype(_I32) * _I32(16)
+            hi = lo + 16
+            it = 99  # mark: go straight to the parallel round
+        elif search_iters >= 2:
             m1 = a_count >> 1
             go = probe_ref[g_idx, 0] <= slot
             lo = jnp.where(go, m1, lo)
@@ -123,8 +137,11 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
             lo = jnp.where(go, mid, lo)
             hi = jnp.where(go, hi, mid)
             it = 2
-        if packed and search_iters == 8:
-            for _ in range(2):  # two more probe levels: width 16
+        if ablate == "nosearch":
+            pass  # idx/cum_s/cc already set above
+        elif packed and search_iters == 8:
+            probe_levels = 0 if ablate == "noprobes" else 2
+            for _ in range(probe_levels):  # two more probe levels: width 16
                 mid = (lo + hi) >> 1
                 jm = jnp.maximum(mid - 1, 0)
                 word = _lookup_rows(srow, jm >> 1)
@@ -217,14 +234,30 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
 
         # 4. refill lanes with x < 2^32, one halfword each, lane-ordered
         cond = nhi == 0
-        rank, s_t = _lane_prefix_flat(cond.astype(_I32))
-        lh = ch + rank  # block-local halfword index per lane
-        row = ch >> 8  # 256 halfwords per 128-word row
-        win = stream_ref[0, 0, pl.ds(row, _WIN_ROWS), :]
-        wrows = _bcast_rows(win)
-        lw = (lh >> 1) - row * 128  # window-local word index, < 1024
-        word = _lookup_rows(wrows, lw)
-        h = jnp.where((lh & 1) == 1, word >> _U32(16), word) & _U32(0xFFFF)
+        if ablate == "noprefix":
+            # perf forensics: constant rank/advance instead of the MXU
+            # lane prefix (stream consumption is garbage)
+            rank = jnp.zeros((8, 128), _I32)
+            s_t = jnp.int32(512)
+        elif ablate == "vpuprefix":
+            # measured WORSE (78 vs 51 ms at 64 MB): Mosaic lane rolls are
+            # full shuffles, each ~a gather's latency — 7 dependent rounds
+            # lose to the 2 MXU contractions.  Kept for the record.
+            rank, s_t = _lane_prefix_flat_vpu(cond.astype(_I32))
+        else:
+            rank, s_t = _lane_prefix_flat(cond.astype(_I32))
+        if ablate == "norefill":
+            # perf forensics: skip the window gather entirely
+            h = (rank.astype(_U32) + _U32(0x123)) & _U32(0xFFFF)
+        else:
+            lh = ch + rank  # block-local halfword index per lane
+            row = ch >> 8  # 256 halfwords per 128-word row
+            win = stream_ref[0, 0, pl.ds(row, _WIN_ROWS), :]
+            wrows = _bcast_rows(win)
+            lw = (lh >> 1) - row * 128  # window-local word index, < 1024
+            word = _lookup_rows(wrows, lw)
+            h = jnp.where(
+                (lh & 1) == 1, word >> _U32(16), word) & _U32(0xFFFF)
 
         rhi = (nhi << _U32(16)) | (nlo >> _U32(16))
         rlo = (nlo << _U32(16)) | h
@@ -243,7 +276,7 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "a_count", "interpret"),
+    static_argnames=("block_len", "a_count", "interpret", "ablate"),
 )
 def rans_decode_tiled(
     stream: jax.Array,
@@ -254,6 +287,7 @@ def rans_decode_tiled(
     block_len: int,
     a_count: int,
     interpret: bool = False,
+    ablate: str = "none",
 ):
     """Decode padded per-tile stream windows -> (NG, G, L) symbols.
 
@@ -276,6 +310,7 @@ def rans_decode_tiled(
         )
     kern = functools.partial(
         _rans_decode_kernel, a_count=a_count, tile_steps=tile,
+        ablate=ablate,
     )
     # cum values at the two data-independent early probe positions, plus
     # j0 = largest s with cum[s] == 0 (zero-frequency repair, see

@@ -94,6 +94,33 @@ def _lane_prefix_flat(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return excl, total
 
 
+def _lane_prefix_flat_vpu(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """:func:`_lane_prefix_flat` computed entirely on the VPU: a 7-round
+    lane log-prefix + a 3-round sublane log-prefix (rolls + masked adds),
+    no MXU round-trips.  Same results; the per-STEP decode refill rank is
+    latency-bound, and the two MXU contractions cost ~280 cycles of
+    dependent latency there (measured 19.4 ms of the 50.7 ms 64 MB decode
+    kernel) — the ~22-op VPU chain is shorter."""
+    R, C = n.shape
+    lane_idx = jax.lax.broadcasted_iota(_I32, (R, C), 1)
+    row_idx = jax.lax.broadcasted_iota(_I32, (R, C), 0)
+    x = n
+    k = 1
+    while k < C:  # inclusive within-row prefix
+        x = x + jnp.where(lane_idx >= k, jnp.roll(x, k, axis=1), 0)
+        k *= 2
+    inc = x
+    rowtot = jnp.broadcast_to(inc[:, C - 1 : C], (R, C))
+    y = rowtot
+    k = 1
+    while k < R:  # inclusive over rows
+        y = y + jnp.where(row_idx >= k, jnp.roll(y, k, axis=0), 0)
+        k *= 2
+    excl = inc - n + (y - rowtot)
+    total = jnp.sum(n)
+    return excl, total
+
+
 def prep_cum_vreg(cum: np.ndarray) -> np.ndarray:
     """Lay a (A+1,) cum table out as the (8, 128) vreg the kernels expect,
     padded with a sentinel larger than any slot value (so searches never

@@ -109,3 +109,20 @@ def test_compact_flat_tile_matches_compress():
             want = vals.reshape(-1)[mask.reshape(-1)]
             assert int(total) == want.size
             np.testing.assert_array_equal(got[: want.size], want)
+
+
+def test_lane_prefix_vpu_matches_mxu():
+    """The VPU log-prefix (decode's per-step refill rank) must equal the
+    MXU-contraction prefix for every shape the kernels use."""
+    import jax.numpy as jnp
+    from range_coder_rust_tpu.kernels.vreg import (
+        _lane_prefix_flat, _lane_prefix_flat_vpu)
+
+    rng = np.random.default_rng(5)
+    for R in (8, 16, 512):
+        for d in (0.0, 0.3, 1.0):
+            n = jnp.asarray((rng.random((R, 128)) < d).astype(np.int32))
+            r0, t0 = _lane_prefix_flat(n)
+            r1, t1 = _lane_prefix_flat_vpu(n)
+            assert int(t0) == int(t1)
+            np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
