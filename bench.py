@@ -204,7 +204,7 @@ def _cold_compile_s(jax, jnp, rans_codec, L, NT):
         sr = jax.ShapeDtypeStruct((90112, 128), jnp.uint32)
         didx = jax.ShapeDtypeStruct((ng * NT * 96,), jnp.int32)
         st = jax.ShapeDtypeStruct((ng, NT), jnp.int32)
-        pre = jax.ShapeDtypeStruct((ng, 16, 128), jnp.uint32)
+        pre = jax.ShapeDtypeStruct((ng, 2 * rans_codec.G // 128, 128), jnp.uint32)
         t0 = time.time()
         rans_codec._decode_fused.lower(
             sr, didx, st, pre, cum, ng=ng, nt=NT, rpad=96, block_len=L,
@@ -344,7 +344,7 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
         H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
         a_row = (H >> 8).astype(np.int64)
         b_row = (H + flat_sz + 255) >> 8
-        rpad = -(-(int((b_row - a_row).max(initial=1)) + 8) // 16) * 16
+        rpad = rans_codec._rpad_for(int((b_row - a_row).max(initial=1)))
         R = -(-max(-(-len(region) // 512), 1) // 8) * 8
         ridx = np.minimum(a_row[:, None] + np.arange(rpad)[None, :],
                           max(R - 1, 0)).astype(np.int32).reshape(-1)
@@ -362,7 +362,8 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
             jax.device_put(jnp.asarray(buf.view("<u4").reshape(R, 128)), dev),
             jax.device_put(jnp.asarray(ridx), dev),
             jax.device_put(jnp.asarray(starts), dev),
-            jax.device_put(jnp.asarray(words.reshape(nb, 16, 128)), dev),
+            jax.device_put(jnp.asarray(
+                words.reshape(nb, 2 * G // 128, 128)), dev),
             nb, rpad,
         ))
 

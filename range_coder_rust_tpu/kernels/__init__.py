@@ -14,11 +14,11 @@ stream compaction), rans_encode.py / rans_decode.py (the tiled kernels).
 """
 
 from .rans_decode import rans_decode_tiled
-from .rans_encode import TILE_STEPS, rans_encode_tiled
+from .rans_encode import rans_encode_tiled, tile_steps_for
 from .vreg import prep_cum_vreg, symbols_to_step_major
 
 __all__ = [
-    "TILE_STEPS",
+    "tile_steps_for",
     "prep_cum_vreg",
     "rans_decode_tiled",
     "rans_encode_tiled",

@@ -41,23 +41,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import u64 as u64ops
 from .vreg import (
-    _bcast_rows, _lane_prefix_flat, _lane_prefix_flat_vpu, _lookup_rows)
+    _bcast_rows, _lane_prefix_flat, _lane_prefix_flat_hybrid,
+    _lane_prefix_flat_vpu, _lookup_rows)
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
 
-#: lanes per group (must match rans.GROUP_LANES)
-G = 1024
-#: steps per grid tile (must match rans_encode.TILE_STEPS)
-TILE_STEPS = 64
-#: window rows fetched per refill: a step consumes <= 1024 halfwords
-#: (4 rows + within-row offset -> 5 rows); 8 unaligned rows cover it
-_WIN_ROWS = 8
+def _win_rows(sr: int) -> int:
+    """Window rows fetched per refill: a step consumes <= sr*128 halfwords
+    (sr/2 rows + within-row offset); the next multiple of 8 with a spare
+    row covers any start offset."""
+    return max(8, ((sr // 2 + 1 + 7) // 8) * 8)
 
 
 def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                         stream_ref, out_ref, st_ref, *, a_count: int,
-                        tile_steps: int, ablate: str = "none"):
+                        tile_steps: int, sr: int = 8, ablate: str = "none"):
     """One (group, step-tile), tiles in time order.  probe_ref SMEM (NG, 5)
     u32 = cum values at the two data-independent early probe positions
     plus j0 (see rans_decode_tiled); starts_ref SMEM (NG, NT) i32 = each
@@ -89,8 +88,8 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
     def _():
         # prime: lane l's state = LE words 2l (lo) and 2l+1 (hi)
         lane = (
-            jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
-            + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+            jax.lax.broadcasted_iota(_I32, (sr, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_I32, (sr, 128), 1)
         )
         pre_rows = _bcast_rows(pre_ref[0])
         st_ref[1] = _lookup_rows(pre_rows, lane * 2)      # x.lo
@@ -110,16 +109,16 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
         # slot > c1[m]}, exact by monotonicity of c1), and cum/c come
         # from the same fetched words — no separate per-symbol lookup.
         slot = xlo & _U32(0xFFFF)
-        lo = jnp.zeros((8, 128), _I32)
-        hi = jnp.full((8, 128), a_count, _I32)
+        lo = jnp.zeros((sr, 128), _I32)
+        hi = jnp.full((sr, 128), a_count, _I32)
         it = 0
         if ablate == "nosearch":
             # perf forensics: skip the whole symbol search + cum/c lookup
             # (outputs garbage; constants keep the state chain shaped)
             idx = (slot & _U32(a_count - 1 if a_count & (a_count - 1) == 0
                                else 127)).astype(_I32)
-            cum_s = jnp.full((8, 128), 1000, _U32)
-            cc = jnp.full((8, 128), 300, _U32)
+            cum_s = jnp.full((sr, 128), 1000, _U32)
+            cc = jnp.full((sr, 128), 300, _U32)
         elif ablate == "noprobes" and packed and search_iters == 8:
             # skip the two scalar + two gather probe levels; fake lo from
             # slot bits (garbage interval, same parallel-round cost)
@@ -158,7 +157,7 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                 _lookup_rows(srow, jnp.maximum(base_w + k - 1, 0))
                 for k in range(10)
             ]  # independent gathers: k-1 in [-1, 9)
-            cnt = jnp.zeros((8, 128), _I32)
+            cnt = jnp.zeros((sr, 128), _I32)
             for k in range(10):
                 wk = words[k]
                 m0 = ((base_w + k - 1) << 1)
@@ -237,13 +236,18 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
         if ablate == "noprefix":
             # perf forensics: constant rank/advance instead of the MXU
             # lane prefix (stream consumption is garbage)
-            rank = jnp.zeros((8, 128), _I32)
+            rank = jnp.zeros((sr, 128), _I32)
             s_t = jnp.int32(512)
         elif ablate == "vpuprefix":
             # measured WORSE (78 vs 51 ms at 64 MB): Mosaic lane rolls are
             # full shuffles, each ~a gather's latency — 7 dependent rounds
             # lose to the 2 MXU contractions.  Kept for the record.
             rank, s_t = _lane_prefix_flat_vpu(cond.astype(_I32))
+        elif ablate == "hprefix":
+            # one MXU contraction + sublane-roll row prefix: measured a
+            # wash vs the two-contraction form (31.3 vs 30.9 ms at 64 MB,
+            # G=2048) — the second contraction's latency overlaps fine
+            rank, s_t = _lane_prefix_flat_hybrid(cond.astype(_I32))
         else:
             rank, s_t = _lane_prefix_flat(cond.astype(_I32))
         if ablate == "norefill":
@@ -252,9 +256,9 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
         else:
             lh = ch + rank  # block-local halfword index per lane
             row = ch >> 8  # 256 halfwords per 128-word row
-            win = stream_ref[0, 0, pl.ds(row, _WIN_ROWS), :]
+            win = stream_ref[0, 0, pl.ds(row, _win_rows(sr)), :]
             wrows = _bcast_rows(win)
-            lw = (lh >> 1) - row * 128  # window-local word index, < 1024
+            lw = (lh >> 1) - row * 128  # window-local word index
             word = _lookup_rows(wrows, lw)
             h = jnp.where(
                 (lh & 1) == 1, word >> _U32(16), word) & _U32(0xFFFF)
@@ -264,7 +268,7 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
         xhi2 = jnp.where(cond, rhi, nhi)
         xlo2 = jnp.where(cond, rlo, nlo)
 
-        out_ref[0, 0, pl.ds(t * 8, 8), :] = idx
+        out_ref[0, 0, pl.ds(t * sr, sr), :] = idx
         return (xhi2, xlo2, ch + s_t.astype(_I32))
 
     xhi, xlo, _ = jax.lax.fori_loop(
@@ -293,7 +297,7 @@ def rans_decode_tiled(
 
     Arguments:
       stream: (NG, NT, rows_pad, 128) u32 LE words — tile (g, t)'s region
-        rows in TIME order, with at least _WIN_ROWS of tail slack rows
+        rows in TIME order, with at least _win_rows(sr) tail slack rows
         (content ignored); the region starts at halfword ``starts[g, t]``
         of the block and its size is implied by the coder (the container's
         per-tile sizes produce this layout — rans_codec).
@@ -303,13 +307,13 @@ def rans_decode_tiled(
         per-group tables (adaptive rans16).
     """
     NG, n_tiles, rows_pad, _ = stream.shape
-    tile = min(TILE_STEPS, block_len)
-    if block_len % tile or n_tiles != block_len // tile:
+    if block_len % n_tiles:
         raise ValueError(
-            f"block_len {block_len} inconsistent with {n_tiles} tiles of {tile}"
-        )
+            f"block_len {block_len} not divisible by {n_tiles} tiles")
+    tile = block_len // n_tiles  # the encoder's tiling, from the container
+    sr = pre.shape[1] // 2       # group width / 128, from the preamble
     kern = functools.partial(
-        _rans_decode_kernel, a_count=a_count, tile_steps=tile,
+        _rans_decode_kernel, a_count=a_count, tile_steps=tile, sr=sr,
         ablate=ablate,
     )
     # cum values at the two data-independent early probe positions, plus
@@ -333,7 +337,7 @@ def rans_decode_tiled(
     out = pl.pallas_call(
         kern,
         grid=(NG, n_tiles),
-        out_shape=jax.ShapeDtypeStruct((NG, n_tiles, tile * 8, 128), _I32),
+        out_shape=jax.ShapeDtypeStruct((NG, n_tiles, tile * sr, 128), _I32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # probes (NG, 4)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # starts (NG, NT)
@@ -341,22 +345,22 @@ def rans_decode_tiled(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, 128), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((1, 2 * sr, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rows_pad, 128), lambda g, t: (g, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tile * 8, 128), lambda g, t: (g, t, 0, 0),
+            (1, 1, tile * sr, 128), lambda g, t: (g, t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, 128), _U32),
+            pltpu.VMEM((2, sr, 128), _U32),
         ],
         interpret=interpret,
     )(probes, starts, cum_vreg, aux, pre, stream)
-    out = out.reshape(NG, block_len, 8, 128)
-    sym = jnp.transpose(out, (0, 2, 3, 1)).reshape(NG, G, block_len)
+    out = out.reshape(NG, block_len, sr, 128)
+    sym = jnp.transpose(out, (0, 2, 3, 1)).reshape(NG, sr * 128, block_len)
     return sym
 
 

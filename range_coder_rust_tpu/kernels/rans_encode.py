@@ -69,18 +69,21 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 _F32 = jnp.float32
 
-#: steps per grid tile — the unit of output blocking and container
-#: size-bookkeeping
-TILE_STEPS = 64
-#: lanes per group (must match rans.GROUP_LANES)
-G = 1024
 #: per-tile region capacity in halfwords: every lane can emit at most one
-#: halfword per step, so TILE_STEPS * G is a hard worst case — overflow
-#: cannot happen
-CAP_HW = TILE_STEPS * G
+#: halfword per step, so tile_steps * G is a hard worst case — overflow
+#: cannot happen.  Fixed at 65536 (the compact_flat_tile buffer cap), so
+#: the steps per grid tile scale inversely with the group width:
+#: G=1024 -> 64-step tiles, G=2048 -> 32-step tiles.
+CAP_HW = 65536
 #: expanded rows per tile block (one u32 slot per region halfword; the
 #: region is LEFT-aligned at slot 0, so no blend-window slack is needed)
 ROWS_E = CAP_HW // 128
+
+
+def tile_steps_for(group_lanes: int) -> int:
+    """Steps per grid tile for a group width (the container's per-tile
+    bookkeeping unit — derived, so containers of any group width parse)."""
+    return max(1, CAP_HW // group_lanes)
 
 
 def _to_f32(v: jax.Array) -> jax.Array:
@@ -139,7 +142,7 @@ def barrett_rows(c) -> "np.ndarray":
 def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
                         pre_ref, sz_ref, st_ref, lut_ref, hv_ref, *,
                         a_count: int, tile_steps: int, n_tiles: int,
-                        barrett: bool, ablate: str = "none"):
+                        barrett: bool, sr: int = 8, ablate: str = "none"):
     """One (group, step-tile), tiles walked in buffer order (= time
     reversed).  Two phases: (1) the sequential per-step state chain, which
     parks each step's candidate halfword + emit flag in ``hv_ref``;
@@ -160,7 +163,7 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
     time-ascending row blocks."""
     tau = pl.program_id(1)
     g_idx = pl.program_id(0)
-    cap_hw = tile_steps * 1024
+    cap_hw = tile_steps * sr * 128
 
     packed = a_count <= 256
     if packed:
@@ -174,8 +177,8 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
 
     @pl.when(tau == 0)
     def _():
-        st_ref[0] = jnp.full((8, 128), 1, _U32)   # x = 2^32
-        st_ref[1] = jnp.zeros((8, 128), _U32)
+        st_ref[0] = jnp.full((sr, 128), 1, _U32)   # x = 2^32
+        st_ref[1] = jnp.zeros((sr, 128), _U32)
 
     # the per-symbol table words depend only on the INPUT symbols, not on
     # coder state — hoist the lookup out of the (latency-bound) step loop
@@ -205,15 +208,15 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
         t_local = tile_steps - 1 - j
 
         if ablate == "nolut":
-            cum_s = jnp.full((8, 128), 1000, _U32)
-            cc = jnp.full((8, 128), _abl_d, _U32)
+            cum_s = jnp.full((sr, 128), 1000, _U32)
+            cc = jnp.full((sr, 128), _abl_d, _U32)
         elif packed:
-            w2 = lut_ref[0, pl.ds(t_local * 8, 8), :]
+            w2 = lut_ref[0, pl.ds(t_local * sr, sr), :]
             cum_s = w2 & _U32(0xFFFF)
             cc = (w2 >> _U32(16)) + _U32(1)
         else:
-            cum_s = lut_ref[0, pl.ds(t_local * 8, 8), :]
-            cc = lut_ref[1, pl.ds(t_local * 8, 8), :]
+            cum_s = lut_ref[0, pl.ds(t_local * sr, sr), :]
+            cc = lut_ref[1, pl.ds(t_local * sr, sr), :]
 
         # 2. renorm: emit one halfword where x >= c << 32  <=>  x.hi >= c
         emit = xhi >= cc
@@ -234,13 +237,13 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
             # a short tree of independent 32x32 products — no estimate/
             # fixup chain, no c == 2^16 special case
             if ablate == "nolut":
-                ml = jnp.full((8, 128), _abl_m & 0xFFFFFFFF, _U32)
+                ml = jnp.full((sr, 128), _abl_m & 0xFFFFFFFF, _U32)
                 mhl = jnp.full(
-                    (8, 128), (_abl_m >> 32) | (_abl_lg << 20), _U32)
+                    (sr, 128), (_abl_m >> 32) | (_abl_lg << 20), _U32)
             else:
                 base = 1 if packed else 2
-                ml = lut_ref[base, pl.ds(t_local * 8, 8), :]
-                mhl = lut_ref[base + 1, pl.ds(t_local * 8, 8), :]
+                ml = lut_ref[base, pl.ds(t_local * sr, sr), :]
+                mhl = lut_ref[base + 1, pl.ds(t_local * sr, sr), :]
             mh = mhl & _U32(0xFFFFF)         # m >> 32, < 2^17
             sh = mhl >> _U32(20)             # l in [0, 16]
             ac_hi, ac_lo = mul32_wide(xlo1, ml)
@@ -305,7 +308,7 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
 
         # 5. park this step's emission for the whole-tile compaction —
         # time-ascending row blocks (t_local), which IS region order
-        hv_ref[pl.ds(t_local * 8, 8), :] = h | (
+        hv_ref[pl.ds(t_local * sr, sr), :] = h | (
             emit.astype(_U32) << _U32(16))
 
         return (nxhi, nxlo)
@@ -317,20 +320,21 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
 
     # ---- phase 2: ONE whole-tile compaction, region left-aligned ----
     hv = hv_ref[:, :]
+    tail = tile_steps * sr - sr
     if ablate == "noprefix":
-        exp_ref[0, 0, 0:8, :] = hv[0:8] ^ hv[tile_steps * 8 - 8:]
+        exp_ref[0, 0, 0:sr, :] = hv[0:sr] ^ hv[tail:]
         sz_ref[g_idx, tau] = jnp.int32(cap_hw // 2)
     else:
         act = (hv >> _U32(16)).astype(_I32)
         rank, total = _lane_prefix_flat(act)
         sz_ref[g_idx, tau] = total
         if ablate == "nocompact":
-            exp_ref[0, 0, 0:8, :] = (
-                hv[0:8] + rank[0:8].astype(_U32) ^ hv[tile_steps * 8 - 8:])
+            exp_ref[0, 0, 0:sr, :] = (
+                hv[0:sr] + rank[0:sr].astype(_U32) ^ hv[tail:])
         else:
             comp = compact_flat_tile(hv, act == 1, rank)
             if ablate == "nowrite":
-                exp_ref[0, 0, 0:8, :] = comp[0:8] ^ comp[tile_steps * 8 - 8:]
+                exp_ref[0, 0, 0:sr, :] = comp[0:sr] ^ comp[tail:]
             else:
                 exp_ref[0, 0, :, :] = comp
 
@@ -338,17 +342,17 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
     def _():
         # preamble: lane l's state as LE words 2l (lo) / 2l+1 (hi)
         flat = (
-            jax.lax.broadcasted_iota(_I32, (8, 128), 0) * 128
-            + jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+            jax.lax.broadcasted_iota(_I32, (sr, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_I32, (sr, 128), 1)
         )
         lo_rows = _bcast_rows(xlo)
         hi_rows = _bcast_rows(xhi)
         for half in range(2):
-            word_idx = flat + half * 1024
+            word_idx = flat + half * (sr * 128)
             lane = word_idx >> 1
             lo_v = _lookup_rows(lo_rows, lane)
             hi_v = _lookup_rows(hi_rows, lane)
-            pre_ref[0, pl.ds(half * 8, 8), :] = jnp.where(
+            pre_ref[0, pl.ds(half * sr, sr), :] = jnp.where(
                 (word_idx & 1) == 1, hi_v, lo_v
             )
 
@@ -370,37 +374,41 @@ def rans_encode_tiled(
     """Encode step-major symbol tiles into per-tile rans16 region blocks.
 
     Arguments:
-      symbols: (NG, L*8, 128) int32 step-major (symbols_to_step_major),
-        L == block_len (any multiple of TILE_STEPS, or <= TILE_STEPS).
+      symbols: (NG, L*SR, 128) int32 step-major (symbols_to_step_major),
+        L == block_len; SR = group_lanes/128 sublane-rows per step — the
+        group width is DERIVED from the input shape, so any group_lanes
+        (1024, 2048, ...) encodes with the same kernel.
       cum_vreg: (8, 128) uint32 (prep_cum_vreg), or (NG, 8, 128) for
-        PER-GROUP tables (the adaptive rans16 mode — each group of 1024
-        lanes coded with its own order-0 table at full kernel speed).
+        PER-GROUP tables (the adaptive rans16 mode — each group coded
+        with its own order-0 table at full kernel speed).
       enc_aux: (16, 128) uint32 Barrett reciprocal rows (barrett_rows) —
         or (NG, 16, 128) per group — enables the exact multiply-shift
         division; None falls back to the f32 estimate + fixup divide
         (same outputs, longer serial chain).
 
     Returns ``(pre, exp, sizes)``:
-      pre: (NG, 16, 128) u32 preamble words (lane states, lo/hi pairs);
-      exp: (NG, NT, ROWS_E_t, 128) u32 halfword-expanded tile blocks —
+      pre: (NG, 2*SR, 128) u32 preamble words (lane states, lo/hi pairs);
+      exp: (NG, NT, rows_e, 128) u32 halfword-expanded tile blocks —
         tile k holds TIME-tile ``NT-1-k``, its region LEFT-aligned at
         slots ``[0, sizes[g, k])``;
       sizes: (NG, NT) int32 region sizes in halfwords, buffer order.
     """
     NG, rows, _ = symbols.shape
-    if rows != block_len * 8:
-        raise ValueError(f"symbols rows {rows} != 8 * block_len {block_len}")
-    tile = min(TILE_STEPS, block_len)
+    if rows % block_len:
+        raise ValueError(f"symbols rows {rows} not a multiple of "
+                         f"block_len {block_len}")
+    sr = rows // block_len
+    tile = min(tile_steps_for(sr * 128), block_len)
     if block_len % tile:
         raise ValueError(f"block_len {block_len} % tile {tile} != 0")
     n_tiles = block_len // tile
-    rows_e = tile * 1024 // 128
+    rows_e = tile * sr
     barrett = enc_aux is not None
     if not barrett:
         enc_aux = jnp.zeros((16, 128), _U32)
     kern = functools.partial(
         _rans_encode_kernel, a_count=a_count, tile_steps=tile,
-        n_tiles=n_tiles, barrett=barrett, ablate=ablate,
+        n_tiles=n_tiles, barrett=barrett, sr=sr, ablate=ablate,
     )
     from .rans_decode import aux_from_cum_flat
 
@@ -414,13 +422,13 @@ def rans_encode_tiled(
     # tile n_tiles-1 first) so the kernel's index maps stay plain forward —
     # reversed index maps triggered nondeterministic pipelining hangs on
     # v5e in round 2; XLA fuses the flip with the step-major transpose
-    sym4 = jnp.flip(symbols.reshape(NG, n_tiles, tile * 8, 128), axis=1)
+    sym4 = jnp.flip(symbols.reshape(NG, n_tiles, tile * sr, 128), axis=1)
     exp, pre, sz = pl.pallas_call(
         kern,
         grid=(NG, n_tiles),
         out_shape=(
             jax.ShapeDtypeStruct((NG, n_tiles, rows_e, 128), _U32),
-            jax.ShapeDtypeStruct((NG, 16, 128), _U32),
+            jax.ShapeDtypeStruct((NG, 2 * sr, 128), _U32),
             jax.ShapeDtypeStruct((NG, n_tiles), _I32),
         ),
         in_specs=[
@@ -431,7 +439,7 @@ def rans_encode_tiled(
             pl.BlockSpec((1, 16, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, tile * 8, 128),
+                (1, 1, tile * sr, 128),
                 lambda g, t: (g, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -439,14 +447,14 @@ def rans_encode_tiled(
         out_specs=(
             pl.BlockSpec((1, 1, rows_e, 128), lambda g, t: (g, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, 128), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((1, 2 * sr, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (NG, NT) array
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, 128), _U32),
-            pltpu.VMEM((4, tile * 8, 128), _U32),  # hoisted per-step tables
-            pltpu.VMEM((tile * 8, 128), _U32),     # per-step emissions
+            pltpu.VMEM((2, sr, 128), _U32),
+            pltpu.VMEM((4, tile * sr, 128), _U32),  # hoisted per-step tables
+            pltpu.VMEM((tile * sr, 128), _U32),     # per-step emissions
         ],
         interpret=interpret,
     )(cum_vreg, aux, enc_aux, sym4)

@@ -121,6 +121,31 @@ def _lane_prefix_flat_vpu(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return excl, total
 
 
+def _lane_prefix_flat_hybrid(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """:func:`_lane_prefix_flat` with ONE MXU contraction: the within-row
+    prefix rides the MXU, the (much smaller) across-row exclusive prefix
+    is a ``log2(R)``-round sublane-roll ladder on the row totals —
+    sublane rolls are cheap (unlike the lane rolls that sank the all-VPU
+    variant), and the second 128x128 contraction's latency disappears
+    from the per-step chain."""
+    R, C = n.shape
+    nf = n.astype(jnp.float32)
+    iota = jax.lax.broadcasted_iota(_I32, (C, C), 0)
+    jota = jax.lax.broadcasted_iota(_I32, (C, C), 1)
+    upper = (iota <= jota).astype(jnp.float32)
+    inc = jax.lax.dot(nf, upper, preferred_element_type=jnp.float32)
+    rowtot = jnp.broadcast_to(inc[:, C - 1 : C], (R, C))
+    row_idx = jax.lax.broadcasted_iota(_I32, (R, C), 0)
+    y = rowtot
+    k = 1
+    while k < R:  # inclusive prefix over rows
+        y = y + jnp.where(row_idx >= k, jnp.roll(y, k, axis=0), 0)
+        k *= 2
+    excl = (inc - nf + (y - rowtot)).astype(_I32)
+    total = jnp.sum(n)
+    return excl, total
+
+
 def prep_cum_vreg(cum: np.ndarray) -> np.ndarray:
     """Lay a (A+1,) cum table out as the (8, 128) vreg the kernels expect,
     padded with a sentinel larger than any slot value (so searches never
@@ -132,12 +157,18 @@ def prep_cum_vreg(cum: np.ndarray) -> np.ndarray:
     return flat.reshape(8, 128)
 
 
-def symbols_to_step_major(symbols: jax.Array, *, group_lanes: int = 1024
+def symbols_to_step_major(symbols: jax.Array, *, group_lanes: int = None
                           ) -> jax.Array:
-    """(B, L) lane-major symbols -> (NG, L*8, 128) step-major tiles."""
+    """(B, L) lane-major symbols -> (NG, L*SR, 128) step-major tiles,
+    with ``SR = group_lanes // 128`` sublane-rows of state per step."""
+    if group_lanes is None:
+        from .. import rans
+
+        group_lanes = rans.GROUP_LANES
     B, L = symbols.shape
     if B % group_lanes:
         raise ValueError(f"B={B} not a multiple of {group_lanes}")
     NG = B // group_lanes
-    s = symbols.reshape(NG, 8, 128, L).astype(_I32)
-    return jnp.transpose(s, (0, 3, 1, 2)).reshape(NG, L * 8, 128)
+    sr = group_lanes // 128
+    s = symbols.reshape(NG, sr, 128, L).astype(_I32)
+    return jnp.transpose(s, (0, 3, 1, 2)).reshape(NG, L * sr, 128)

@@ -53,8 +53,8 @@ immaterial (verified by the size benchmarks).
 
 ## Interleaved group stream layout (profile "rans16")
 
-``G = 1024`` lanes per group; lane ``l`` encodes the group's ``l``-th
-length-``L`` segment.  Group stream bytes:
+``G = GROUP_LANES`` lanes per group; lane ``l`` encodes the group's
+``l``-th length-``L`` segment.  Group stream bytes:
 
 * preamble: lane ``l``'s final encoder state (= the decoder's initial
   state), 8 bytes little-endian, at ``[8l, 8l+8)``;
@@ -77,8 +77,15 @@ from typing import Tuple
 
 import numpy as np
 
-#: lanes per group (one (8, 128) vreg of states)
-GROUP_LANES = 1024
+#: lanes per group — GROUP_LANES/128 (8, 128) vregs of coder state per
+#: step.  The kernels' per-step chain is LATENCY-bound (measured ~730
+#: dependent cycles per decode step), so wider groups amortize that
+#: latency over more symbols nearly for free; the cost is container state
+#: overhead (6 B/lane preamble) and VMEM.  2048 keeps the size win vs the
+#: scalar reference (+6 KB per 67M-symbol group = +0.0007 bits/sym) while
+#: roughly halving the latency share.  Kernels and container parse are
+#: width-generic: streams written at other widths still decode.
+GROUP_LANES = 2048
 
 #: table precision — the rans16 profile is specialized to 2^16 totals
 K = 16

@@ -49,12 +49,16 @@ from . import format as fmt
 from . import rans
 from .errors import ConfigError, InvalidHeader
 from .kernels.vreg import prep_cum_vreg, symbols_to_step_major
-from .kernels.rans_decode import rans_decode_tiled
+from .kernels.rans_decode import _win_rows, rans_decode_tiled
 from .kernels.rans_encode import (
-    TILE_STEPS, barrett_rows, pack_and_gather, rans_encode_tiled)
+    barrett_rows, pack_and_gather, rans_encode_tiled, tile_steps_for)
 from .models.table import Pow2Table
 
 G = rans.GROUP_LANES
+#: encoder-side steps per tile for the default group width; decode derives
+#: the tile size from each container's payload NT, so containers written
+#: with other group widths (e.g. round-3's 1024-lane ones) still decode
+TILE_STEPS = tile_steps_for(G)
 
 #: device-invocation bound: symbols per encode call (~HBM working set;
 #: the expanded tile blocks cost ~4.2 B/sym on top of the 4 B/sym
@@ -67,8 +71,9 @@ _BATCH_SYMBOLS = 128 << 20
 _BATCH_GROUPS = 512
 
 
-def _groups_per_call(L: int) -> int:
-    return max(1, min(_BATCH_SYMBOLS // (G * L), _BATCH_GROUPS))
+def _groups_per_call(L: int, group_lanes: int = None) -> int:
+    g = group_lanes if group_lanes else G
+    return max(1, min(_BATCH_SYMBOLS // (g * L), _BATCH_GROUPS))
 
 #: row-count bucket for the compacted-stream gather (limits recompiles)
 _ROWS_BUCKET = 4096
@@ -124,7 +129,7 @@ def _decode_fused(stream_rows, idx, starts, pre, cum_vreg, *, ng, nt, rpad,
     sym = rans_decode_tiled(
         padded, starts, pre, cum_vreg, block_len=block_len,
         a_count=a_count, interpret=interpret)
-    return sym.reshape(ng * G * block_len).astype(out_dtype)
+    return sym.reshape(-1).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
@@ -192,16 +197,28 @@ def _fetch(dev_array) -> np.ndarray:
     return np.concatenate(host)
 
 
-def _rows_e(tile: int) -> int:
-    return tile * 1024 // 128
+def _rows_e(tile: int, group_lanes: int = None) -> int:
+    """Expanded rows per tile block: one u32 slot per capacity halfword."""
+    return tile * (group_lanes if group_lanes else G) // 128
 
 
-def _tile_geometry(block_len: int) -> Tuple[int, int]:
-    """(tile_steps, n_tiles) for a lane length."""
-    tile = min(TILE_STEPS, block_len)
+def _rpad_for(rows_needed: int, group_lanes: int = None) -> int:
+    """Padded rows per decode tile window: the kernel reads a
+    ``_win_rows(sr)``-row window starting anywhere inside the region, so
+    the block needs that much tail slack — with less, the final refills
+    of a tile read clamped rows and corrupt the NEXT tile's first steps."""
+    slack = _win_rows((group_lanes if group_lanes else G) // 128)
+    return -(-(rows_needed + slack) // 16) * 16
+
+
+def _tile_geometry(block_len: int, group_lanes: int = None
+                   ) -> Tuple[int, int]:
+    """(tile_steps, n_tiles) for a lane length and group width."""
+    ts = tile_steps_for(group_lanes if group_lanes else G)
+    tile = min(ts, block_len)
     if block_len % tile:
         raise ConfigError(
-            f"rans16 block_len {block_len} must be <= {TILE_STEPS} or a "
+            f"rans16 block_len {block_len} must be <= {ts} or a "
             f"multiple of it")
     return tile, block_len // tile
 
@@ -305,34 +322,43 @@ def encode_groups(
     return payloads
 
 
-def _parse_payload(p, block_len: int):
-    """One group payload -> (sizes (NT,) int64, pre6 bytes, region bytes)."""
-    tile, NT = _tile_geometry(block_len)
+def _parse_payload(p, block_len: int, group_lanes: int = None):
+    """One group payload -> (sizes (NT,) int64, pre6 bytes, region bytes).
+
+    The tile size is DERIVED from the payload's own NT (tile = L / NT),
+    so containers written by encoders with other group widths or tile
+    defaults parse and decode — the format is self-describing."""
+    g = group_lanes if group_lanes else G
     p = memoryview(p)
     if len(p) < 4:
         raise InvalidHeader("rans16 payload too short")
     nt = int(np.frombuffer(p[:4], "<u4")[0])
-    if nt != NT:
+    if nt < 1 or block_len % nt:
         raise InvalidHeader(
-            f"rans16 payload has {nt} tiles, geometry implies {NT}")
-    head = 4 + 4 * NT
+            f"rans16 payload has {nt} tiles for lane length {block_len}")
+    tile = block_len // nt
+    head = 4 + 4 * nt
     sizes = np.frombuffer(p[4:head], "<u4").astype(np.int64)
-    if np.any(sizes > tile * 1024):
+    if np.any(sizes > tile * g):
         raise InvalidHeader("rans16 tile size exceeds capacity")
-    pre6 = p[head : head + 6 * G]
-    off = head + 6 * G
-    if len(pre6) != 6 * G or off + 2 * int(sizes.sum()) != len(p):
+    pre6 = p[head : head + 6 * g]
+    off = head + 6 * g
+    if len(pre6) != 6 * g or off + 2 * int(sizes.sum()) != len(p):
         raise InvalidHeader("rans16 payload size mismatch")
     return sizes, pre6, p[off:]
 
 
 def decode_groups(
-    payloads: List[bytes], table_c: np.ndarray, block_len: int
+    payloads: List[bytes], table_c: np.ndarray, block_len: int,
+    group_lanes: int = None
 ) -> np.ndarray:
-    """Decode per-group payload bytes back to (NG*G, L) symbol rows.
+    """Decode per-group payload bytes back to (NG*g, L) symbol rows.
 
     ``table_c``: (A,) shared counts, or (NG, A) per-group counts (the
-    adaptive rans16 mode)."""
+    adaptive rans16 mode).  ``group_lanes`` comes from the container
+    (any multiple of 128 the kernels' VMEM budget allows — containers
+    written with other widths than the current default still decode)."""
+    g = group_lanes if group_lanes else G
     NG = len(payloads)
     a_count = int(table_c.shape[-1])
 
@@ -344,28 +370,32 @@ def decode_groups(
         cum_vreg = jnp.asarray(np.stack([vreg_of(c) for c in table_c]))
     else:
         cum_vreg = jnp.asarray(vreg_of(table_c))
-    gpc = _groups_per_call(block_len)
+    gpc = _groups_per_call(block_len, g)
     if NG <= gpc:
-        return _decode_batch(payloads, cum_vreg, a_count, block_len)
-    out = np.empty((NG * G, block_len), np.int32)
+        return _decode_batch(payloads, cum_vreg, a_count, block_len, g)
+    out = np.empty((NG * g, block_len), np.int32)
     for start in range(0, NG, gpc):
         stop = min(start + gpc, NG)
         cv = cum_vreg if cum_vreg.ndim == 2 else cum_vreg[start:stop]
-        out[start * G : stop * G] = _decode_batch(
-            payloads[start:stop], cv, a_count, block_len)
+        out[start * g : stop * g] = _decode_batch(
+            payloads[start:stop], cv, a_count, block_len, g)
     return out
 
 
 def _decode_batch(
-    payloads: List[bytes], cum_vreg, a_count: int, block_len: int
+    payloads: List[bytes], cum_vreg, a_count: int, block_len: int,
+    g: int = None
 ) -> np.ndarray:
     """Decode one bounded batch of group payloads."""
+    g = g if g else G
     NG = len(payloads)
-    tile, NT = _tile_geometry(block_len)
     interp = _interpret()
 
     trace = _tracer()
-    parsed = [_parse_payload(p, block_len) for p in payloads]
+    parsed = [_parse_payload(p, block_len, g) for p in payloads]
+    NT = parsed[0][0].shape[0]
+    if any(s.shape[0] != NT for s, _, _ in parsed):
+        raise InvalidHeader("rans16 payloads disagree on tile count")
     sizes = np.stack([s for s, _, _ in parsed])            # (NG, NT)
     region = b"".join(bytes(r) for _, _, r in parsed)
     stream_hw = np.frombuffer(region, "<u2")
@@ -377,7 +407,7 @@ def _decode_batch(
     a_row = (H >> 8).astype(np.int64)
     b_row = (H + flat_sz + 255) >> 8
     rows_needed = int((b_row - a_row).max(initial=1))
-    rpad = -(-(rows_needed + 8) // 16) * 16
+    rpad = _rpad_for(rows_needed, g)
     R = -(-max(int(stream_hw.size), 1) // (256 * 8)) * 8  # word rows, 8-align
     ridx = np.minimum(
         a_row[:, None] + np.arange(rpad)[None, :], max(R - 1, 0)
@@ -388,15 +418,15 @@ def _decode_batch(
     buf[: stream_hw.size * 2] = np.frombuffer(region, np.uint8)
     stream_rows = jnp.asarray(buf.view("<u4").reshape(R, 128))
 
-    # preamble: 6-byte LE states -> (NG, 16, 128) u32 lo/hi word pairs
-    pre8 = np.zeros((NG, G, 8), np.uint8)
-    for g, (_, pre6, _) in enumerate(parsed):
-        pre8[g, :, :6] = np.frombuffer(pre6, np.uint8).reshape(G, 6)
-    x = pre8.reshape(NG, G * 8).view("<u8")                # (NG, G)
-    words = np.empty((NG, 2 * G), np.uint32)
+    # preamble: 6-byte LE states -> (NG, 2*g/128, 128) u32 lo/hi word pairs
+    pre8 = np.zeros((NG, g, 8), np.uint8)
+    for gi, (_, pre6, _) in enumerate(parsed):
+        pre8[gi, :, :6] = np.frombuffer(pre6, np.uint8).reshape(g, 6)
+    x = pre8.reshape(NG, g * 8).view("<u8")                # (NG, g)
+    words = np.empty((NG, 2 * g), np.uint32)
     words[:, 0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
     words[:, 1::2] = (x >> 32).astype(np.uint32)
-    pre = jnp.asarray(words.reshape(NG, 16, 128))
+    pre = jnp.asarray(words.reshape(NG, 2 * g // 128, 128))
 
     out_dtype = (jnp.uint8 if a_count <= 256
                  else jnp.uint16 if a_count <= 65536 else jnp.int32)
@@ -406,7 +436,7 @@ def _decode_batch(
         ng=NG, nt=NT, rpad=rpad, block_len=block_len, a_count=a_count,
         out_dtype=out_dtype, interpret=interp))
     trace("decoded symbols fetched")
-    return flat.astype(np.int32).reshape(NG * G, block_len)
+    return flat.astype(np.int32).reshape(NG * g, block_len)
 
 
 def _shrink_lane_len(n: int, L: int) -> int:
@@ -508,10 +538,10 @@ def decode(cont: fmt.Container) -> np.ndarray:
     """Decompress a parsed rans16 container back to the symbol array."""
     if cont.profile != "rans16":
         raise ConfigError("not a rans16 container")
-    if cont.group_lanes != G:
+    gl = cont.group_lanes
+    if gl < 128 or gl % 128:
         raise ConfigError(
-            f"container group_lanes {cont.group_lanes} != supported {G}"
-        )
+            f"container group_lanes {gl} is not a multiple of 128")
     rows = decode_groups(cont.payloads, np.asarray(cont.tables_c),
-                         cont.block_len)
+                         cont.block_len, gl)
     return rows.reshape(-1)[: cont.n_symbols]

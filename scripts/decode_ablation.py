@@ -68,7 +68,7 @@ def main():
     H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
     a_row = (H >> 8).astype(np.int64)
     b_row = (H + flat_sz + 255) >> 8
-    rpad = -(-(int((b_row - a_row).max(initial=1)) + 8) // 16) * 16
+    rpad = rans_codec._rpad_for(int((b_row - a_row).max(initial=1)))
     R = -(-max(-(-len(region) // 512), 1) // 8) * 8
     ridx = np.minimum(a_row[:, None] + np.arange(rpad)[None, :],
                       max(R - 1, 0)).astype(np.int32).reshape(-1)
@@ -86,7 +86,7 @@ def main():
     stream_rows = jax.device_put(jnp.asarray(buf.view("<u4").reshape(R, 128)))
     ridx_d = jax.device_put(jnp.asarray(ridx))
     starts_d = jax.device_put(jnp.asarray(starts))
-    pre0 = jax.device_put(jnp.asarray(wpre.reshape(ng, 16, 128)))
+    pre0 = jax.device_put(jnp.asarray(wpre.reshape(ng, 2 * G // 128, 128)))
     jax.block_until_ready([stream_rows, ridx_d, starts_d, pre0])
     log("decode inputs staged on device")
 
@@ -119,7 +119,7 @@ def main():
         return best
 
     results = {}
-    for abl in ("none", "vpuprefix", "noprobes", "nosearch", "noprefix",
+    for abl in ("none", "hprefix", "noprobes", "nosearch", "noprefix",
                 "norefill"):
         results[abl] = timed(abl, lambda p, a=abl: rans_decode_tiled(
             padded, starts_d, p, cum_vreg, block_len=L, a_count=256,

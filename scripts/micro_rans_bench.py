@@ -114,7 +114,7 @@ def main():
     H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
     a_row = (H >> 8).astype(np.int64)
     b_row = (H + flat_sz + 255) >> 8
-    rpad = -(-(int((b_row - a_row).max(initial=1)) + 8) // 16) * 16
+    rpad = rans_codec._rpad_for(int((b_row - a_row).max(initial=1)))
     R = -(-max(-(-len(region) // 512), 1) // 8) * 8
     ridx = np.minimum(a_row[:, None] + np.arange(rpad)[None, :],
                       max(R - 1, 0)).astype(np.int32).reshape(-1)
@@ -132,7 +132,7 @@ def main():
     stream_rows = jax.device_put(jnp.asarray(buf.view("<u4").reshape(R, 128)))
     ridx_d = jax.device_put(jnp.asarray(ridx))
     starts_d = jax.device_put(jnp.asarray(starts))
-    pre_d = jax.device_put(jnp.asarray(wpre.reshape(ng, 16, 128)))
+    pre_d = jax.device_put(jnp.asarray(wpre.reshape(ng, 2 * G // 128, 128)))
     jax.block_until_ready([stream_rows, ridx_d, starts_d, pre_d])
 
     padded = timed("pad_gather", lambda: rans_codec._pad_stream(

@@ -126,3 +126,18 @@ def test_lane_prefix_vpu_matches_mxu():
             r1, t1 = _lane_prefix_flat_vpu(n)
             assert int(t0) == int(t1)
             np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+
+def test_lane_prefix_hybrid_matches_mxu():
+    import jax.numpy as jnp
+    from range_coder_rust_tpu.kernels.vreg import (
+        _lane_prefix_flat, _lane_prefix_flat_hybrid)
+
+    rng = np.random.default_rng(9)
+    for R in (8, 16, 512):
+        for d in (0.0, 0.4, 1.0):
+            n = jnp.asarray((rng.random((R, 128)) < d).astype(np.int32))
+            r0, t0 = _lane_prefix_flat(n)
+            r1, t1 = _lane_prefix_flat_hybrid(n)
+            assert int(t0) == int(t1)
+            np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))

@@ -85,7 +85,8 @@ def test_sharded_rans16_matches_single_device():
 
     n_dev = 8
     mesh = default_mesh(jax.devices()[:n_dev])
-    G, L = 1024, 64
+    from range_coder_rust_tpu import rans
+    G, L = rans.GROUP_LANES, 64
     NG = n_dev  # one group per device
     rng = np.random.default_rng(17)
     data = rng.integers(0, 200, size=(NG * G, L)).astype(np.int32)
@@ -116,7 +117,7 @@ def test_sharded_rans16_matches_single_device():
     H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
     a_row = (H >> 8).astype(np.int64)
     b_row = (H + flat_sz + 255) >> 8
-    rpad = -(-(int((b_row - a_row).max(initial=1)) + 8) // 16) * 16
+    rpad = rans_codec._rpad_for(int((b_row - a_row).max(initial=1)))
     R = -(-max(len(region) // 512, 1) // 8) * 8
     ridx = np.minimum(a_row[:, None] + np.arange(rpad)[None, :],
                       max(R - 1, 0)).astype(np.int32).reshape(-1)
@@ -138,7 +139,7 @@ def test_sharded_rans16_matches_single_device():
     out = dec(
         jax.device_put(jnp.asarray(padded), sh),
         jax.device_put(jnp.asarray(starts), sh),
-        jax.device_put(jnp.asarray(words.reshape(NG, 16, 128)), sh),
+        jax.device_put(jnp.asarray(words.reshape(NG, 2 * G // 128, 128)), sh),
         cum_sh,
     )
     np.testing.assert_array_equal(
@@ -162,7 +163,8 @@ def test_sharded_rans16_per_group_tables():
 
     n_dev = 8
     mesh = default_mesh(jax.devices()[:n_dev])
-    G, L = 1024, 64
+    from range_coder_rust_tpu import rans
+    G, L = rans.GROUP_LANES, 64
     NG = n_dev
     rng = np.random.default_rng(23)
     # a different distribution per group

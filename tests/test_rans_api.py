@@ -22,7 +22,8 @@ def test_rans16_roundtrip_exact_multiple():
     data = _zipf(1024 * 64)  # exactly one group
     blob = api.encode(data, config=CFG)
     cont = fmt.unpack(blob)
-    assert cont.profile == "rans16" and cont.group_lanes == 1024
+    from range_coder_rust_tpu import rans
+    assert cont.profile == "rans16" and cont.group_lanes == rans.GROUP_LANES
     out = api.decode(blob)
     np.testing.assert_array_equal(out, data)
 
@@ -56,8 +57,9 @@ def test_rans16_long_lane_single_call_matches_spec():
     from range_coder_rust_tpu import rans, rans_codec
     from range_coder_rust_tpu.models.table import table_from_data_pow2
 
+    G = rans.GROUP_LANES
     L = 4 * rans_codec.TILE_STEPS
-    data = _zipf(1024 * L, seed=9).reshape(1024, L)
+    data = _zipf(G * L, seed=9).reshape(G, L)
     t = table_from_data_pow2(data, 256, 16)
 
     payloads = rans_codec.encode_groups(data, t, L)
@@ -67,8 +69,8 @@ def test_rans16_long_lane_single_call_matches_spec():
 
     # oracle: the NumPy spec over the full lanes in one pass
     states, sregions, counts = rans.encode_lanes(data, t.c, t.cum)
-    x8 = np.zeros((1024, 8), np.uint8)
-    x8[:, :6] = np.frombuffer(pre6, np.uint8).reshape(1024, 6)
+    x8 = np.zeros((G, 8), np.uint8)
+    x8[:, :6] = np.frombuffer(pre6, np.uint8).reshape(G, 6)
     np.testing.assert_array_equal(x8.reshape(-1).view("<u8"), states)
     spec_regions = b"".join(r.astype("<u2").tobytes() for r in sregions)
     assert bytes(region) == spec_regions
@@ -119,12 +121,15 @@ def test_rans16_per_group_tables_adaptive():
     histogram + the same kernels with group-indexed table blocks) must
     round-trip, beat the shared table on heterogeneous data, and keep
     random access working across group boundaries."""
+    from range_coder_rust_tpu import rans
+
     rng = np.random.default_rng(5)
+    G = rans.GROUP_LANES
     L = 128
     zipf = (lambda p: p / p.sum())(1 / np.arange(1, 65) ** 1.5)
     flat = (lambda p: p / p.sum())(1 / np.arange(1, 65) ** 0.5)
-    g1 = rng.choice(64, size=1024 * L, p=zipf).astype(np.int32)
-    g2 = (128 + rng.choice(64, size=1024 * L, p=flat)).astype(np.int32)
+    g1 = rng.choice(64, size=G * L, p=zipf).astype(np.int32)
+    g2 = (128 + rng.choice(64, size=G * L, p=flat)).astype(np.int32)
     data = np.concatenate([g1, g2])
 
     cfg_a = api.CodecConfig(profile="rans16", block_len=L,
@@ -136,8 +141,8 @@ def test_rans16_per_group_tables_adaptive():
     assert cont.per_block_tables and cont.tables_c.shape == (2, 256)
     np.testing.assert_array_equal(api.decode(blob_a), data)
     assert len(blob_a) < len(blob_s), "per-group tables must win here"
-    got = api.decode_range(blob_a, 1024 * L - 500, 1000)
-    np.testing.assert_array_equal(got, data[1024 * L - 500: 1024 * L + 500])
+    got = api.decode_range(blob_a, G * L - 500, 1000)
+    np.testing.assert_array_equal(got, data[G * L - 500: G * L + 500])
 
 
 def test_rans16_per_group_tables_requires_rans16():
