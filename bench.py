@@ -190,7 +190,7 @@ def _cold_compile_s(jax, jnp, rans_codec, L, NT):
         from range_coder_rust_tpu.kernels.rans_encode import pack_and_gather
 
         ng = 1
-        rows = jax.ShapeDtypeStruct((ng * 1024, L), jnp.uint8)
+        rows = jax.ShapeDtypeStruct((ng * rans_codec.G, L), jnp.uint8)
         cum = jax.ShapeDtypeStruct((8, 128), jnp.uint32)
         t0 = time.time()
         rans_codec._encode_device.lower(
@@ -202,12 +202,13 @@ def _cold_compile_s(jax, jnp, rans_codec, L, NT):
         pack_and_gather.lower(exp, ridx, rows_out=90112).compile()
         pack_s = time.time() - t0
         sr = jax.ShapeDtypeStruct((90112, 128), jnp.uint32)
-        didx = jax.ShapeDtypeStruct((ng * NT * 96,), jnp.int32)
+        rpad = rans_codec._rpad_for(88)
+        didx = jax.ShapeDtypeStruct((ng * NT * rpad,), jnp.int32)
         st = jax.ShapeDtypeStruct((ng, NT), jnp.int32)
         pre = jax.ShapeDtypeStruct((ng, 2 * rans_codec.G // 128, 128), jnp.uint32)
         t0 = time.time()
         rans_codec._decode_fused.lower(
-            sr, didx, st, pre, cum, ng=ng, nt=NT, rpad=96, block_len=L,
+            sr, didx, st, pre, cum, ng=ng, nt=NT, rpad=rpad, block_len=L,
             a_count=256, out_dtype=jnp.uint8, interpret=False).compile()
         dec_s = time.time() - t0
         return {"encode_s": round(enc_s, 1), "pack_s": round(pack_s, 1),
@@ -242,6 +243,9 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
 
     G = rans_codec.G
     n = data.size
+    # shrink the lane length exactly like the product path does when the
+    # corpus cannot fill one group at the requested L
+    L = rans_codec._shrink_lane_len(n, L)
     ng = max(1, n // (G * L))
     nfit = ng * G * L
     rows = data[:nfit].reshape(ng * G, L).astype(np.uint8)
