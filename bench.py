@@ -153,6 +153,20 @@ def main() -> None:
         f"assembly): encode {e2e_n / 1e9 / e2e_enc_t:.3f} GB/s, decode "
         f"{e2e_n / 1e9 / e2e_dec_t:.3f} GB/s, combined {e2e_gbps:.3f} GB/s")
 
+    # --- measured tunnel floor: the transfers e2e cannot avoid ------------
+    # encode moves n bytes up + compressed down; decode the reverse.  The
+    # floor makes "e2e is at the tunnel limit" a measured claim, not lore.
+    from range_coder_rust_tpu import rans_codec
+    h2d_gbps, d2h_gbps = _tunnel_rates(jax, jnp, dev, rans_codec,
+                                       min(e2e_n, 64 << 20))
+    comp_n = len(blob)
+    floor_s = ((e2e_n + comp_n) / 1e9 / h2d_gbps
+               + (e2e_n + comp_n) / 1e9 / d2h_gbps)
+    floor_gbps = e2e_n / 1e9 / floor_s
+    log(f"tunnel: H2D {h2d_gbps:.3f} GB/s, D2H {d2h_gbps:.3f} GB/s -> "
+        f"e2e floor {floor_gbps:.4f} GB/s (e2e at "
+        f"{e2e_gbps / floor_gbps:.2f}x of floor)")
+
     print(json.dumps({
         "metric": "encode+decode GB/s/chip",
         "value": round(gbps, 4),
@@ -172,8 +186,31 @@ def main() -> None:
         "scalar_bits_per_symbol": round(ref_bits, 4),
         "size_vs_scalar": round(cont_bits / ref_bits, 4),
         "baseline_gbps_scalar_cpp": round(base_gbps, 4),
+        "tunnel_h2d_gbps": round(h2d_gbps, 4),
+        "tunnel_d2h_gbps": round(d2h_gbps, 4),
+        "tunnel_floor_gbps": round(floor_gbps, 4),
+        "e2e_vs_floor": round(e2e_gbps / floor_gbps, 3),
         "device": str(dev),
     }))
+
+
+def _tunnel_rates(jax, jnp, dev, rans_codec, nbytes):
+    """Best-of-3 raw H2D / D2H GB/s for an ``nbytes`` u8 buffer, using the
+    same transfer paths the product uses (device_put up, chunked
+    parallel-stream _fetch down)."""
+    buf = np.zeros(nbytes, np.uint8)
+    h2d = d2h = None
+    for _ in range(3):
+        t0 = time.time()
+        d = jax.block_until_ready(jax.device_put(jnp.asarray(buf), dev))
+        dt = time.time() - t0
+        h2d = dt if h2d is None else min(h2d, dt)
+        t0 = time.time()
+        rans_codec._fetch(d)
+        dt = time.time() - t0
+        d2h = dt if d2h is None else min(d2h, dt)
+        buf[0] += 1  # distinct content per rep (dedup-proof)
+    return nbytes / 1e9 / h2d, nbytes / 1e9 / d2h
 
 
 def _cold_compile_s(jax, jnp, rans_codec, L, NT):

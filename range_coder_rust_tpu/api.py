@@ -134,6 +134,23 @@ def encode(
     if config.raw_total:
         return _encode_raw(symbols, a, config)
 
+    if config.profile == "rans16" and a > 1024:
+        # the rans16 search tables hold <= 1024 symbols (one cum vreg);
+        # wider alphabets fall back to the planar profile automatically,
+        # mirroring the CLI's k != 16 fallback rule (VERDICT r3 item 7 —
+        # previously this surfaced as a raw ValueError deep in the kernel)
+        if config.per_group_tables:
+            raise ConfigError(
+                f"alphabet {a} exceeds the rans16 limit of 1024 symbols "
+                "and per_group_tables has no planar fallback; use "
+                "adaptive.encode_adaptive or an alphabet <= 1024")
+        config = dataclasses.replace(
+            config, profile="planar",
+            block_len=None if config.block_len == 65536
+            else config.block_len)
+        L = config.block_len
+        b = max(1, math.ceil(n / L))
+
     if config.profile == "rans16" and table is None:
         # the rans16 path builds the table(s) on device from the uploaded
         # data (np.bincount costs seconds at GB scale on this host class)
@@ -281,6 +298,10 @@ def decode_range(
     if start < 0 or count < 0 or start + count > n:
         raise ConfigError(
             f"range [{start}, {start + count}) outside [0, {n})")
+    if count == 0:
+        # avoid touching any unit (start == n would otherwise index one
+        # block past the end — advisor r3)
+        return np.zeros(0, np.int32)
     span = cont.block_len * (cont.group_lanes or 1)
     b0 = start // span
     b1 = max(b0 + 1, -(-(start + count) // span)) if count else b0 + 1

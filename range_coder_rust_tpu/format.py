@@ -54,7 +54,9 @@ MAGIC = b"RCT1"
 #: container version.  2 = round-3 rans16 payload layout (per-tile region
 #: sizes + 48-bit preamble states); version-1 planar/raw containers are
 #: still readable (their payload layout never changed), version-1 rans16
-#: containers are rejected with a clear error.
+#: containers are rejected with a clear error.  NEW containers of every
+#: profile write version 2 on purpose (advisor r3): pre-1.0 there is one
+#: current writer version, and readers accept both.
 VERSION = 2
 
 FLAG_PER_BLOCK_TABLES = 1 << 0

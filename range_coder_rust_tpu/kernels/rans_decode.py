@@ -339,7 +339,7 @@ def rans_decode_tiled(
         grid=(NG, n_tiles),
         out_shape=jax.ShapeDtypeStruct((NG, n_tiles, tile * sr, 128), _I32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # probes (NG, 4)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # probes (NG, 5)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # starts (NG, NT)
             pl.BlockSpec((1, 8, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),

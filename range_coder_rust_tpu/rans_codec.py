@@ -253,20 +253,30 @@ def encode_groups(
     gpc = _groups_per_call(L)
     trace = _tracer()
     payloads: List[bytes] = []
-    for start in range(0, NG, gpc):
-        stop = min(start + gpc, NG)
-        nb = stop - start
-        trace(f"enc batch {start}: H2D dispatch")
+    bounds_all = [(s, min(s + gpc, NG)) for s in range(0, NG, gpc)]
+
+    def dispatch(start, stop):
+        """Dispatch one batch's H2D + encode kernel (all async)."""
+        trace(f"enc batch {start}: H2D + kernel dispatch")
         chunk = jnp.asarray(symbols[start * G : stop * G])
         cv = cum_vreg if cum_vreg.ndim == 2 else cum_vreg[start:stop]
         ea = enc_aux if enc_aux.ndim == 2 else enc_aux[start:stop]
-        pre, exp, sizes = _encode_device(
-            chunk, cv, ea, block_len=L, a_count=a_count,
-            interpret=interp)
-        trace("kernel dispatched; fetching sizes")
+        return _encode_device(
+            chunk, cv, ea, block_len=L, a_count=a_count, interpret=interp)
+
+    # double-buffered pipeline: batch i+1's upload + kernel are in flight
+    # while batch i blocks on its sizes/stream fetches — the tunnel and
+    # the chip are independent resources (VERDICT r3 item 4)
+    inflight = dispatch(*bounds_all[0]) if bounds_all else None
+    for bi, (start, stop) in enumerate(bounds_all):
+        nb = stop - start
+        pre, exp, sizes = inflight
+        if bi + 1 < len(bounds_all):
+            inflight = dispatch(*bounds_all[bi + 1])
+        trace("fetching sizes")
         sizes_np = np.asarray(sizes)          # (nb, NT) buffer order
         trace("sizes fetched; fetching preamble")
-        pre_np = np.asarray(pre)              # (nb, 16, 128) u32
+        pre_np = np.asarray(pre)              # (nb, 2G/128, 128) u32
         trace("preamble fetched")
 
         # tile k of the exp buffer holds TIME-tile NT-1-k; regions are
@@ -372,21 +382,41 @@ def decode_groups(
         cum_vreg = jnp.asarray(vreg_of(table_c))
     gpc = _groups_per_call(block_len, g)
     if NG <= gpc:
-        return _decode_batch(payloads, cum_vreg, a_count, block_len, g)
+        return _decode_finish(
+            _decode_batch(payloads, cum_vreg, a_count, block_len, g))
     out = np.empty((NG * g, block_len), np.int32)
-    for start in range(0, NG, gpc):
-        stop = min(start + gpc, NG)
+    bounds = [(s, min(s + gpc, NG)) for s in range(0, NG, gpc)]
+
+    def dispatch(start, stop):
         cv = cum_vreg if cum_vreg.ndim == 2 else cum_vreg[start:stop]
-        out[start * g : stop * g] = _decode_batch(
+        return _decode_batch(
             payloads[start:stop], cv, a_count, block_len, g)
+
+    # double-buffered: batch i+1's uploads + kernel run while batch i's
+    # decoded symbols stream back over the tunnel
+    inflight = dispatch(*bounds[0])
+    for bi, (start, stop) in enumerate(bounds):
+        cur = inflight
+        if bi + 1 < len(bounds):
+            inflight = dispatch(*bounds[bi + 1])
+        out[start * g : stop * g] = _decode_finish(cur)
     return out
+
+
+def _decode_finish(handle) -> np.ndarray:
+    """Fetch + reshape one dispatched batch (blocks on the tunnel)."""
+    flat_dev, NG, g, block_len, trace = handle
+    flat = _fetch(flat_dev)
+    trace("decoded symbols fetched")
+    return flat.astype(np.int32).reshape(NG * g, block_len)
 
 
 def _decode_batch(
     payloads: List[bytes], cum_vreg, a_count: int, block_len: int,
     g: int = None
-) -> np.ndarray:
-    """Decode one bounded batch of group payloads."""
+):
+    """Parse + upload + dispatch one bounded batch of group payloads.
+    Returns a handle for :func:`_decode_finish` (device work in flight)."""
     g = g if g else G
     NG = len(payloads)
     interp = _interpret()
@@ -431,12 +461,11 @@ def _decode_batch(
     out_dtype = (jnp.uint8 if a_count <= 256
                  else jnp.uint16 if a_count <= 65536 else jnp.int32)
     trace("uploads staged; decode dispatch")
-    flat = _fetch(_decode_fused(
+    flat_dev = _decode_fused(
         stream_rows, jnp.asarray(ridx), jnp.asarray(starts), pre, cum_vreg,
         ng=NG, nt=NT, rpad=rpad, block_len=block_len, a_count=a_count,
-        out_dtype=out_dtype, interpret=interp))
-    trace("decoded symbols fetched")
-    return flat.astype(np.int32).reshape(NG * g, block_len)
+        out_dtype=out_dtype, interpret=interp)
+    return (flat_dev, NG, g, block_len, trace)
 
 
 def _shrink_lane_len(n: int, L: int) -> int:
@@ -481,7 +510,17 @@ def encode(
         raise ConfigError("rans16 profile requires k == 16")
     if per_group_tables and table is not None:
         raise ConfigError("per_group_tables builds its own tables")
+    if alphabet > 1024:
+        raise ConfigError(
+            f"alphabet {alphabet} exceeds the rans16 limit of 1024 "
+            "symbols (one cum-table vreg); use the planar profile — "
+            "api.encode falls back automatically")
     n = int(symbols.size)
+    if n >= 1 << 31:
+        # the device histogram accumulates in int32 (advisor r3); one
+        # encode call is capped well above the supported batch sizes
+        raise ConfigError(
+            f"{n} symbols in one encode call exceeds 2^31; split the input")
     _tile_geometry(block_len)  # validate requested geometry
     L = _shrink_lane_len(n, block_len)
     ng = max(1, math.ceil(n / (G * L)))

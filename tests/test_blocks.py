@@ -152,3 +152,21 @@ def test_determinism():
     code1, len1, _ = roundtrip(data, table)
     code2, len2, _ = roundtrip(data, table)
     assert np.array_equal(code1, code2) and np.array_equal(len1, len2)
+
+
+def test_planar_pow2_wide_alphabet_4096():
+    """Wide alphabets must not unroll O(A) select chains in the pow2
+    lookup (VERDICT r3 item 9): a 4096-symbol planar encode compiles in
+    seconds (one batched gather) and round-trips."""
+    import time
+
+    from range_coder_rust_tpu import api
+
+    rng = np.random.default_rng(13)
+    data = rng.integers(0, 4096, size=8192).astype(np.int32)
+    t0 = time.time()
+    blob = api.encode(data, alphabet=4096,
+                      config=api.CodecConfig(k=16, block_len=256))
+    out = api.decode(blob)
+    np.testing.assert_array_equal(out, data)
+    assert time.time() - t0 < 120, "wide-alphabet encode traced too slowly"

@@ -63,3 +63,16 @@ def test_decode_range_bounds():
         api.decode_range(blob, 9_000, 2_000)
     with pytest.raises(ConfigError):
         api.decode_range(blob, -1, 10)
+
+
+def test_decode_range_zero_count_at_end():
+    """count == 0 must return an empty array even at start == n_symbols
+    (previously indexed one unit past the end — advisor r3)."""
+    span = 128 * 3
+    data = _zipf(span, seed=2)
+    blob = api.encode(data, alphabet=256,
+                      config=api.CodecConfig(block_len=128))
+    got = api.decode_range(blob, span, 0)
+    assert got.size == 0
+    got = api.decode_range(blob, 0, 0)
+    assert got.size == 0
