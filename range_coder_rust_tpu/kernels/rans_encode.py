@@ -139,6 +139,39 @@ def barrett_rows(c) -> "np.ndarray":
                     ).reshape(16, 128)
 
 
+def barrett_rows_batch(c2d) -> "np.ndarray":
+    """Vectorized :func:`barrett_rows` for a (NG, A) batch of per-group
+    counts -> (NG, 16, 128).  The adaptive rans16 mode uses thousands of
+    per-group tables; the scalar builder's Python loop over NG * A symbols
+    costs seconds at that scale."""
+    import numpy as np
+
+    c2d = np.asarray(c2d)
+    NG, a = c2d.shape
+    if a > 1024:
+        raise ValueError(f"alphabet {a} exceeds 1024 symbols")
+    d = np.maximum(c2d.astype(np.uint64), 1)
+    v = (d - 1).astype(np.float64)  # exact: values < 2^16 << 2^53
+    lg = np.where(d > 1, np.frexp(v)[1], 0).astype(np.uint64)
+    # m = floor(2^(48+lg) / d) + 1; 48+lg = 64 exceeds u64 for lg == 16
+    # (d > 2^15), so that band uses the doubling identity
+    # floor(2^64/d) = 2*floor(2^63/d) + floor(2*(2^63 mod d)/d)
+    sh = np.minimum(np.uint64(48) + lg, np.uint64(63))
+    num = np.uint64(1) << sh
+    q = num // d
+    r = num - q * d
+    wide = lg == 16
+    m = np.where(wide, np.uint64(2) * q + (np.uint64(2) * r) // d, q) + 1
+    ml = np.zeros((NG, 1024), np.uint32)
+    mhl = np.zeros((NG, 1024), np.uint32)
+    ml[:, :a] = (m & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    mhl[:, :a] = ((m >> np.uint64(32)) | (lg << np.uint64(20))).astype(
+        np.uint32)
+    out = np.concatenate(
+        [ml.reshape(NG, 8, 128), mhl.reshape(NG, 8, 128)], axis=1)
+    return out
+
+
 def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
                         pre_ref, sz_ref, st_ref, lut_ref, hv_ref, *,
                         a_count: int, tile_steps: int, n_tiles: int,

@@ -157,6 +157,17 @@ def prep_cum_vreg(cum: np.ndarray) -> np.ndarray:
     return flat.reshape(8, 128)
 
 
+def prep_cum_vreg_batch(cums: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`prep_cum_vreg` for a (NG, A+1) batch -> the
+    (NG, 8, 128) table blocks (adaptive rans16: thousands of groups)."""
+    NG, a1 = cums.shape
+    if a1 > 1024:
+        raise ValueError(f"alphabet {a1 - 1} exceeds 1023 symbols")
+    flat = np.full((NG, 1024), 0x7FFFFFFF, np.uint32)
+    flat[:, :a1] = cums
+    return flat.reshape(NG, 8, 128)
+
+
 def symbols_to_step_major(symbols: jax.Array, *, group_lanes: int = None
                           ) -> jax.Array:
     """(B, L) lane-major symbols -> (NG, L*SR, 128) step-major tiles,

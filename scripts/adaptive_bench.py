@@ -1,11 +1,19 @@
-"""Adaptive (per-block tables) bench on a mixed corpus — BASELINE config 3.
+"""Adaptive-coding bench on a mixed corpus (BASELINE config: adaptive).
 
-Corpus: concatenated segments with distinct distributions (text-like Zipf,
-near-uniform binary, skewed runs), where per-block tables beat any shared
-table.  Times the device two-pass path (adaptive.py) and compares rate
-with the shared-table planar path.  Writes ADAPTIVE_r03.json.
+The ADAPTIVE rans16 mode (CodecConfig(per_group_tables=True)) is the
+product path: one order-0 table per group of ``GROUP_LANES * L`` symbols,
+two-pass (device histogram, then the SAME tiled kernels with group-indexed
+table blocks).  This bench times its DEVICE pipeline fetch-forced (see
+scripts/encode_ablation.py for why block_until_ready can't be trusted) on
+device-resident data, plus real-container bits/sym and e2e seconds.
 
-Usage: python scripts/adaptive_bench.py   (env: RC_ADAPT_MB, default 64)
+The planar adaptive path (adaptive.py) is CONFORMANCE-ONLY (demoted in
+round 4): its O(L*A) masked sweep per scan step is a correctness
+demonstration of per-block tables under the byte-exact planar coder, not
+a throughput path — the rans16 mode covers the product use case.
+
+Writes ADAPTIVE_r04.json.  Usage:
+    python scripts/adaptive_bench.py     (env: RC_ADAPT_MB, default 256)
 """
 
 from __future__ import annotations
@@ -26,13 +34,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from range_coder_rust_tpu.adaptive import (
-    block_tables,
-    decode_blocks_adaptive,
-    encode_scan_adaptive,
-)
-from range_coder_rust_tpu.blocks import compact_emissions, default_capacity
-from range_coder_rust_tpu.models.table import table_from_data_pow2
+from range_coder_rust_tpu import api, rans_codec
+from range_coder_rust_tpu import format as fmt
+from range_coder_rust_tpu.kernels.rans_encode import (
+    barrett_rows_batch, pack_and_gather)
+from range_coder_rust_tpu.kernels.vreg import prep_cum_vreg_batch
+from range_coder_rust_tpu.models.table import build_table_pow2, table_from_data_pow2
 
 
 def log(*a):
@@ -64,117 +71,218 @@ def mixed_corpus(n: int, seed: int = 5) -> np.ndarray:
 
 
 def main():
-    mb = int(os.environ.get("RC_ADAPT_MB", "64"))
-    k = 12  # per-block tables: smaller k = smaller per-block header
-    L = 4096
+    mb = int(os.environ.get("RC_ADAPT_MB", "256"))
+    L = int(os.environ.get("RC_ADAPT_L", "32"))  # 2048-lane groups -> 64 KB
     reps = int(os.environ.get("RC_ADAPT_REPS", "3"))
     n = mb << 20
-    data = mixed_corpus(n).reshape(-1, L)
-    B = data.shape[0]
+    G = rans_codec.G
+    data = mixed_corpus(n)
+    NG = n // (G * L)
     dev = jax.devices()[0]
-    log(f"device: {dev}; {mb} MB mixed corpus, {B} blocks x {L}, k={k}")
+    log(f"device: {dev}; {mb} MB mixed corpus, {NG} groups x {G} x {L} "
+        f"(adaptive rans16, {G * L >> 10} KB tables)")
 
-    cap = default_capacity(L, k)
-    # chunked: the scan intermediates cost ~20 B/sym on device, so a
-    # whole 256 MB corpus in one call exceeds HBM — process 32 MB chunks
-    rows_per_chunk = (32 << 20) // L
-    chunks = [
-        jax.device_put(jnp.asarray(data[i : i + rows_per_chunk]), dev)
-        for i in range(0, B, rows_per_chunk)
-    ]
-    jax.block_until_ready(chunks)
-
-    def enc_chunk(syms):
-        c, cum = block_tables(syms, alphabet=256, k=k)
-        ehi, elo, en, pos, lengths = encode_scan_adaptive(syms, c, cum, k=k)
-        code = compact_emissions(ehi, elo, en, pos, capacity=cap)
-        return code, lengths, c, cum
-
+    # --- per-group tables: device histogram -> host normalize ----------
+    rows = data.reshape(NG * G, L).astype(np.uint8)
+    data_dev = jax.device_put(jnp.asarray(data.astype(np.uint8)), dev)
+    jax.block_until_ready(data_dev)
+    np.asarray(rans_codec._histogram_groups(
+        data_dev, alphabet=256, n_groups=NG))  # compile + warm (fetch-forced)
     t0 = time.time()
-    encoded = [enc_chunk(s) for s in chunks]
-    jax.block_until_ready([e[:2] for e in encoded])
-    log(f"adaptive encode compile+first: {time.time() - t0:.1f}s "
-        f"({len(chunks)} chunks)")
-    lengths_np = np.concatenate([np.asarray(e[1]) for e in encoded])
-    assert int(lengths_np.max()) <= cap
-
+    counts = np.asarray(rans_codec._histogram_groups(
+        data_dev, alphabet=256, n_groups=NG)).astype(np.uint64)
+    hist_s = time.time() - t0
     t0 = time.time()
-    decs = [decode_blocks_adaptive(code, c, cum, k=k, block_len=L)
-            for code, _, c, cum in encoded]
-    jax.block_until_ready(decs)
-    log(f"adaptive decode compile+first: {time.time() - t0:.1f}s")
-    got = np.concatenate([np.asarray(d) for d in decs])
-    assert np.array_equal(got, data), "adaptive round trip failed"
+    tables_c = np.stack([build_table_pow2(c, 16).c for c in counts])
+    cums = np.concatenate(
+        [np.zeros((NG, 1), np.uint64), np.cumsum(tables_c, axis=1)],
+        axis=1).astype(np.uint32)
+    table_s = time.time() - t0
+    log(f"tables: device histogram {hist_s:.2f}s, host normalize {table_s:.2f}s "
+        f"({NG} tables)")
 
-    enc_best = dec_best = None
-    for _ in range(reps):
+    cum_vreg_all = prep_cum_vreg_batch(cums)
+    enc_aux_all = barrett_rows_batch(tables_c)
+
+    # --- device-resident batches -------------------------------------
+    gpc = rans_codec._groups_per_call(L)
+    tile, NT = rans_codec._tile_geometry(L)
+    batches = []
+    for s in range(0, NG, gpc):
+        e = min(s + gpc, NG)
+        batches.append((
+            jax.device_put(jnp.asarray(rows[s * G : e * G]), dev),
+            jax.device_put(jnp.asarray(cum_vreg_all[s:e]), dev),
+            jax.device_put(jnp.asarray(enc_aux_all[s:e]), dev),
+            e - s,
+        ))
+    jax.block_until_ready([b[0] for b in batches])
+    log(f"{len(batches)} device batches staged")
+
+    accum = jax.jit(lambda a, z: a + jnp.sum(z))
+    perturb = jax.jit(lambda s, z, i: s.at[0, 0].set(
+        ((z >> 31) + (i % 200)).astype(s.dtype)))
+    acc0 = jax.device_put(jnp.int32(0))
+
+    def enc_dispatch(rows_d, cv, ea):
+        pre, exp, sizes = rans_codec._encode_device(
+            rows_d, cv, ea, block_len=L, a_count=256, interpret=False)
+        return pre, exp, sizes
+
+    # warm + build per-batch compaction row indices (reused across reps —
+    # they depend only on sizes, identical across reps)
+    enc_extra = []
+    for rows_d, cv, ea, nb in batches:
+        pre, exp, sizes = enc_dispatch(rows_d, cv, ea)
+        sizes_np = np.asarray(sizes)
+        import bench as _b  # reuse the row-index builder
+
+        ri, rows_out = _b._enc_row_idx(sizes_np, nb, NT, tile, rans_codec)
+        enc_extra.append((jax.device_put(jnp.asarray(ri), dev), rows_out))
+    log("encode warmed; row indices staged")
+
+    def enc_full(i, rows_d):
+        cv, ea = batches[i][1], batches[i][2]
+        pre, exp, sizes = rans_codec._encode_device(
+            rows_d, cv, ea, block_len=L, a_count=256, interpret=False)
+        words = pack_and_gather(exp, enc_extra[i][0],
+                                rows_out=enc_extra[i][1])
+        return words, sizes
+
+    enc_best = None
+    for g in range(3):
         t0 = time.time()
-        outs = [enc_chunk(s) for s in chunks]
-        jax.block_until_ready([o[:2] for o in outs])
-        dt = time.time() - t0
+        acc = acc0
+        for r in range(reps):
+            for i, (rows_d, cv, ea, nb) in enumerate(batches):
+                words, sizes = enc_full(i, rows_d)
+                acc = accum(acc, sizes)
+            batches[0] = (perturb(batches[0][0], acc, g * reps + r),
+                          *batches[0][1:])
+        int(np.asarray(acc))
+        dt = (time.time() - t0) / reps
         enc_best = dt if enc_best is None else min(enc_best, dt)
+    log(f"adaptive rans16 device encode: {enc_best * 1e3:.1f} ms "
+        f"({n / 1e9 / enc_best:.3f} GB/s)")
+
+    # --- decode: real container -> device-resident decode batches ------
+    cfg = api.CodecConfig(profile="rans16", block_len=L,
+                          per_group_tables=True)
+    blob = api.encode(data.astype(np.uint8), alphabet=256, config=cfg)
+    bits = 8 * len(blob) / n
+    cont = fmt.unpack(blob)
+    out = api.decode(blob)
+    assert np.array_equal(out, data), "adaptive rans16 round trip failed"
+    log(f"container: {bits:.4f} bits/sym (round trip OK)")
+
+    # stage decode uploads ONCE (mirrors bench.py): parse payloads, build
+    # stream rows / indices / starts / preambles per batch, then time the
+    # fused device chain fetch-forced
+    dec_args = []
+    for s in range(0, NG, gpc):
+        e = min(s + gpc, NG)
+        nb = e - s
+        parsed = [rans_codec._parse_payload(p, L, G)
+                  for p in cont.payloads[s:e]]
+        sizes2 = np.stack([sz for sz, _, _ in parsed])
+        region = b"".join(bytes(r) for _, _, r in parsed)
+        flat_sz = sizes2.reshape(-1)
+        H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
+        a_row = (H >> 8).astype(np.int64)
+        b_row = (H + flat_sz + 255) >> 8
+        rpad = rans_codec._rpad_for(int((b_row - a_row).max(initial=1)), G)
+        R = -(-max(-(-len(region) // 512), 1) // 8) * 8
+        ridx = np.minimum(a_row[:, None] + np.arange(rpad)[None, :],
+                          max(R - 1, 0)).astype(np.int32).reshape(-1)
+        starts = (H & 255).astype(np.int32).reshape(nb, NT)
+        buf = np.zeros(R * 512, np.uint8)
+        buf[: len(region)] = np.frombuffer(region, np.uint8)
+        pre8 = np.zeros((nb, G, 8), np.uint8)
+        for gi, (_, p6, _) in enumerate(parsed):
+            pre8[gi, :, :6] = np.frombuffer(p6, np.uint8).reshape(G, 6)
+        x = pre8.reshape(nb, G * 8).view("<u8")
+        wpre = np.empty((nb, 2 * G), np.uint32)
+        wpre[:, 0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
+        wpre[:, 1::2] = (x >> 32).astype(np.uint32)
+        dec_args.append((
+            jax.device_put(jnp.asarray(buf.view("<u4").reshape(R, 128)), dev),
+            jax.device_put(jnp.asarray(ridx), dev),
+            jax.device_put(jnp.asarray(starts), dev),
+            jax.device_put(jnp.asarray(
+                wpre.reshape(nb, 2 * G // 128, 128)), dev),
+            jax.device_put(jnp.asarray(cum_vreg_all[s:e]), dev),
+            nb, rpad,
+        ))
+    jax.block_until_ready([a[0] for a in dec_args])
+
+    def dec_step(arg, pre):
+        sr_, ridx_, st_, _, cv_, nb, rpad = arg
+        return rans_codec._decode_fused(
+            sr_, ridx_, st_, pre, cv_, ng=nb, nt=NT, rpad=rpad,
+            block_len=L, a_count=256, out_dtype=jnp.uint8,
+            interpret=False)
+
+    jax.block_until_ready([dec_step(a, a[3]) for a in dec_args])  # warm
+    pperturb = jax.jit(lambda p, z: p.at[0, 0, 0].set(
+        p[0, 0, 0] + (z >> 31).astype(jnp.uint32)))
+    dec_best = None
+    for _g in range(3):
         t0 = time.time()
-        ds = [decode_blocks_adaptive(code, c, cum, k=k, block_len=L)
-              for code, _, c, cum in encoded]
-        jax.block_until_ready(ds)
-        dt = time.time() - t0
+        acc = acc0
+        pre0 = dec_args[0][3]
+        for _r in range(reps):
+            for i, a in enumerate(dec_args):
+                o = dec_step(a, pre0 if i == 0 else a[3])
+                acc = accum(acc, o[: 1 << 10].astype(jnp.int32))
+            pre0 = pperturb(dec_args[0][3], acc)
+        int(np.asarray(acc))
+        dt = (time.time() - t0) / reps
         dec_best = dt if dec_best is None else min(dec_best, dt)
+    log(f"adaptive rans16 device decode: {dec_best * 1e3:.1f} ms "
+        f"({n / 1e9 / dec_best:.3f} GB/s)")
 
-    # --- adaptive rans16 (per-group tables, the fast adaptive mode) -----
-    from range_coder_rust_tpu import api
+    # e2e (tunnel-inclusive) for the record
+    t0 = time.time()
+    blob2 = api.encode(data.astype(np.uint8), alphabet=256, config=cfg)
+    e2e_enc = time.time() - t0
+    t0 = time.time()
+    api.decode(blob2)
+    e2e_dec = time.time() - t0
 
-    flat = data.reshape(-1)
-    r16 = {}
-    for Lr in (64, 256):
-        cfg = api.CodecConfig(profile="rans16", block_len=Lr,
-                              per_group_tables=True)
-        e2e_data = flat.astype(np.uint8)
-        blob = api.encode(e2e_data, alphabet=256, config=cfg)  # warm
-        t0 = time.time()
-        blob = api.encode(e2e_data, alphabet=256, config=cfg)
-        enc_s = time.time() - t0
-        t0 = time.time()
-        out = api.decode(blob)
-        dec_s = time.time() - t0
-        assert np.array_equal(out, flat), "adaptive rans16 round trip failed"
-        r16[Lr] = {
-            "bits_per_symbol": round(8 * len(blob) / n, 4),
-            "group_kb": Lr,  # 1024 lanes * L symbols = L KB groups
-            "e2e_encode_s": round(enc_s, 2),
-            "e2e_decode_s": round(dec_s, 2),
-        }
-        log(f"adaptive rans16 L={Lr} (per-{Lr} KB tables): "
-            f"{r16[Lr]['bits_per_symbol']} bits/sym, e2e enc {enc_s:.1f}s "
-            f"dec {dec_s:.1f}s (tunnel-transfer bound)")
-
-    # rate: adaptive payloads + per-block table headers vs one shared table
-    adaptive_bits = 8 * (int(lengths_np.sum()) + B * (256 * 2 + 8)) / n
+    # shared-table bound for the size comparison
     ts = table_from_data_pow2(data, 256, 16)
-    p = np.bincount(data.reshape(-1), minlength=256) / n
+    p = np.bincount(data, minlength=256) / n
     nz = ts.c > 0
     shared_bits = float(-(p[nz] * np.log2(
         ts.c[nz].astype(float) / 65536.0)).sum())
+
     gbps = n / 1e9 / (enc_best + dec_best)
-    out = {
-        "metric": "adaptive encode+decode GB/s/chip (mixed corpus)",
+    result = {
+        "metric": "adaptive rans16 encode+decode GB/s/chip (mixed corpus)",
         "value": round(gbps, 4),
-        "encode_gbps": round(n / 1e9 / enc_best, 4),
-        "decode_gbps": round(n / 1e9 / dec_best, 4),
-        "bits_per_symbol_adaptive": round(adaptive_bits, 4),
+        "encode_gbps_device": round(n / 1e9 / enc_best, 4),
+        "decode_gbps_device": round(n / 1e9 / dec_best, 4),
+        "bits_per_symbol": round(bits, 4),
         "bits_per_symbol_shared_table_bound": round(shared_bits, 4),
-        "adaptive_rans16_per_group": r16,
+        "group_kb": G * L >> 10,
+        "n_groups": NG,
+        "table_build_s": {"device_histogram": round(hist_s, 2),
+                          "host_normalize": round(table_s, 2)},
+        "e2e_encode_s": round(e2e_enc, 2),
+        "e2e_decode_s": round(e2e_dec, 2),
         "corpus_mb": mb,
         "block_len": L,
-        "k": k,
+        "group_lanes": G,
+        "planar_adaptive": "conformance-only (demoted r4); see adaptive.py",
         "device": str(dev),
     }
-    log(f"adaptive {gbps:.3f} GB/s; {adaptive_bits:.4f} bits/sym vs shared-"
-        f"table entropy bound {shared_bits:.4f}")
+    log(f"adaptive rans16 combined {gbps:.3f} GB/s, {bits:.4f} bits/sym "
+        f"(shared-table bound {shared_bits:.4f})")
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "ADAPTIVE_r03.json")
+        os.path.abspath(__file__))), "ADAPTIVE_r04.json")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -41,14 +41,13 @@ t = table_from_data_pow2(data, A, k)
 
 mesh = mh.global_mesh()
 lo, hi = mh.local_block_range(B, mesh)
-code, lengths = mh.encode_multihost(
+payloads, lengths_all = mh.encode_multihost(
     data[lo:hi], t.c, t.cum, k=k, n_blocks=B, mesh=mesh
 )
 
 if jax.process_index() == 0:
     blob = mh.assemble_container(
-        code,
-        lengths,
+        payloads,
         k=k,
         alphabet=A,
         block_len=L,
@@ -57,5 +56,36 @@ if jax.process_index() == 0:
     )
     with open(os.path.join(outdir, "container.bin"), "wb") as f:
         f.write(blob)
+
+# ---- rans16 leg: the flagship profile over the same DCN path ---------
+from range_coder_rust_tpu import rans  # noqa: E402
+
+G = rans.GROUP_LANES
+L16 = 8
+NGROUPS = 2
+rng2 = np.random.default_rng(43)
+data16 = rng2.integers(0, 64, size=(NGROUPS * G, L16)).astype(np.int32)
+t16 = table_from_data_pow2(data16, 64, 16)
+glo, ghi = mh.local_group_range(NGROUPS, mesh)
+payloads16 = mh.encode_multihost_rans16(
+    data16[glo * G : ghi * G], t16, block_len=L16, n_groups=NGROUPS)
+
+# round-trip this process's share through the multihost decoder
+local = mh.decode_multihost_rans16(payloads16, t16.c, block_len=L16)
+assert np.array_equal(local, data16[glo * G : ghi * G]), "rans16 mh decode"
+
+if jax.process_index() == 0:
+    blob16 = mh.assemble_container(
+        payloads16,
+        k=16,
+        alphabet=64,
+        block_len=L16,
+        n_symbols=NGROUPS * G * L16,
+        tables_c=t16.c,
+        profile="rans16",
+        group_lanes=G,
+    )
+    with open(os.path.join(outdir, "container_rans16.bin"), "wb") as f:
+        f.write(blob16)
 
 print(f"WORKER_OK {pid}", flush=True)

@@ -55,8 +55,10 @@ def multihost_container(tmp_path_factory):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER_OK {pid}" in out
-    blob = (outdir / "container.bin").read_bytes()
-    return blob
+    return {
+        "planar": (outdir / "container.bin").read_bytes(),
+        "rans16": (outdir / "container_rans16.bin").read_bytes(),
+    }
 
 
 def _expected_corpus():
@@ -68,7 +70,7 @@ def test_multihost_container_decodes(multihost_container):
     from range_coder_rust_tpu.api import decode
 
     data = _expected_corpus()
-    out = decode(multihost_container)
+    out = decode(multihost_container["planar"])
     assert np.array_equal(out.reshape(16, 128), data)
 
 
@@ -95,4 +97,26 @@ def test_multihost_matches_single_process(multihost_container):
         n_symbols=B * L,
         tables_c=t.c,
     )
-    assert blob == multihost_container
+    assert blob == multihost_container["planar"]
+
+
+def test_multihost_rans16_matches_single_process(multihost_container):
+    """The flagship rans16 profile over the DCN path: the 2-process
+    container (group axis sharded over processes, trimmed-byte ordered
+    gather) must be byte-identical to the single-process product path
+    and must decode (VERDICT r3 item 3)."""
+    from range_coder_rust_tpu import rans, rans_codec
+    from range_coder_rust_tpu import format as fmt
+    from range_coder_rust_tpu.api import decode
+    from range_coder_rust_tpu.models.table import table_from_data_pow2
+
+    G = rans.GROUP_LANES
+    L16, NGROUPS = 8, 2
+    rng2 = np.random.default_rng(43)
+    data16 = rng2.integers(0, 64, size=(NGROUPS * G, L16)).astype(np.int32)
+    t16 = table_from_data_pow2(data16, 64, 16)
+    blob = rans_codec.encode(
+        data16.reshape(-1), alphabet=64, table=t16, block_len=L16)
+    assert blob == multihost_container["rans16"]
+    out = decode(multihost_container["rans16"])
+    assert np.array_equal(out, data16.reshape(-1))

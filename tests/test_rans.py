@@ -75,3 +75,33 @@ def test_stream_layout_split_inverse():
         got = hw[off : off + counts[t_i]]
         assert np.array_equal(got, regions[t_i])
         off += counts[t_i]
+
+
+def test_batch_table_builders_match_scalar():
+    """barrett_rows_batch / prep_cum_vreg_batch must equal the scalar
+    builders for every count pattern (incl. the c > 2^15 wide band and
+    c == 2^16 single-symbol tables)."""
+    import numpy as np
+
+    from range_coder_rust_tpu.kernels.rans_encode import (
+        barrett_rows, barrett_rows_batch)
+    from range_coder_rust_tpu.kernels.vreg import (
+        prep_cum_vreg, prep_cum_vreg_batch)
+
+    from range_coder_rust_tpu.models.table import build_table_pow2
+
+    rng = np.random.default_rng(3)
+    tables = []
+    for a in (2, 64, 256):
+        counts = rng.integers(1, 1000, a).astype(np.uint64)
+        tables.append(build_table_pow2(counts, 16).c)
+    tables.append(np.array([1 << 16], np.uint32))            # c == 2^16
+    tables.append(np.array([40000, 25536], np.uint32))       # c > 2^15
+    for c in tables:
+        a = c.shape[0]
+        got = barrett_rows_batch(c[None, :])[0]
+        want = barrett_rows(c)
+        np.testing.assert_array_equal(got, want)
+        cum = np.concatenate([[0], np.cumsum(c)]).astype(np.uint32)
+        np.testing.assert_array_equal(
+            prep_cum_vreg_batch(cum[None, :])[0], prep_cum_vreg(cum))
