@@ -53,11 +53,17 @@ class CodecConfig:
     #: FreqTable's exact semantics (examples/sample_impl.rs:58-69), coded
     #: with true u64/u32 division on device (blocks.encode_blocks_div)
     raw_total: bool = False
-    #: adaptive rans16: one order-0 table per group of 1024*block_len
-    #: symbols (two-pass device histogram + the same kernels with
-    #: group-indexed tables).  Use a moderate block_len (1024-4096) so
-    #: groups are small enough to adapt.
+    #: adaptive rans16: one order-0 table per group of group_lanes *
+    #: block_len symbols (two-pass device histogram + the same kernels
+    #: with group-indexed tables).  Use a moderate block_len so groups
+    #: are small enough to adapt (32-64 at the 2048-lane default).
     per_group_tables: bool = False
+    #: rans16 tile-level random access: record every group's lane states
+    #: every ``sync_tiles`` tiles (6 B/lane/sync of container overhead —
+    #: ~0.3% at sync_tiles=16 with default geometry), letting
+    #: api.decode_range start decoding mid-group instead of touching the
+    #: whole group.  0 = off (the default keeps the headline size).
+    sync_tiles: int = 0
 
     def __post_init__(self):
         if not 1 <= self.k <= 16:
@@ -78,6 +84,12 @@ class CodecConfig:
             raise ConfigError(
                 "per_group_tables is the adaptive rans16 mode; for planar "
                 "per-block tables use adaptive.encode_adaptive")
+        if self.sync_tiles < 0:
+            raise ConfigError("sync_tiles must be >= 0")
+        if self.sync_tiles and self.profile != "rans16":
+            raise ConfigError(
+                "sync_tiles is rans16 tile random access; planar blocks "
+                "are already independently decodable")
 
 
 def _as_symbols(data, alphabet: Optional[int]) -> tuple[np.ndarray, int]:
@@ -145,7 +157,7 @@ def encode(
                 "and per_group_tables has no planar fallback; use "
                 "adaptive.encode_adaptive or an alphabet <= 1024")
         config = dataclasses.replace(
-            config, profile="planar",
+            config, profile="planar", sync_tiles=0,
             block_len=None if config.block_len == 65536
             else config.block_len)
         L = config.block_len
@@ -163,6 +175,7 @@ def encode(
             block_len=L,
             with_checksums=config.with_checksums,
             per_group_tables=config.per_group_tables,
+            sync_tiles=config.sync_tiles,
         )
 
     if table is None:
@@ -192,6 +205,7 @@ def encode(
             table=table,
             block_len=L,
             with_checksums=config.with_checksums,
+            sync_tiles=config.sync_tiles,
         )
 
     pad_symbol = int(np.argmax(table.c))
@@ -312,6 +326,8 @@ def decode_range(
                 from .errors import ChecksumMismatch
 
                 raise ChecksumMismatch(i, int(cont.checksums[i]), actual)
+    if cont.profile == "rans16":
+        return _decode_range_rans16(cont, start, count, b0, b1)
     sub = dataclasses.replace(
         cont,
         lengths=cont.lengths[b0:b1],
@@ -324,6 +340,50 @@ def decode_range(
     out = _decode_container(sub)
     lo = start - b0 * span
     return out[lo : lo + count]
+
+
+def _decode_range_rans16(cont, start: int, count: int, b0: int, b1: int
+                         ) -> np.ndarray:
+    """Tile-level random access for rans16 containers.
+
+    Per touched group, decodes only the STEP interval(s) the requested
+    lanes need (via rans_codec.decode_tile_range, entering at the nearest
+    sync point when the container carries them — CodecConfig.sync_tiles —
+    and always stopping at the last needed tile).  A small read touches
+    O(sync_tiles * tile * group_lanes) symbols instead of the whole
+    group's ``group_lanes * block_len`` (64-128 MB at flagship geometry)."""
+    from . import rans_codec
+
+    g = cont.group_lanes
+    L = cont.block_len
+    span = L * g
+    out = np.empty(count, np.int32)
+    for bidx in range(b0, b1):
+        gbase = bidx * span
+        a = max(start, gbase)
+        b = min(start + count, gbase + span)
+        if b <= a:
+            continue
+        tc = np.asarray(cont.tables_c[bidx] if cont.per_block_tables
+                        else cont.tables_c)
+        la, sa = divmod(a - gbase, L)
+        lb, sbm = divmod(b - gbase - 1, L)
+        if lb > la + 1:
+            intervals = [(0, L, None)]           # middle lanes need it all
+        elif lb == la:
+            intervals = [(sa, sbm + 1, None)]
+        else:  # two adjacent lanes: their tail + head step spans
+            intervals = [(sa, L, la), (0, sbm + 1, lb)]
+        ps = np.arange(a, b)
+        lanes = (ps - gbase) // L
+        steps = (ps - gbase) % L
+        for (s0, s1, only_lane) in intervals:
+            rows, step0 = rans_codec.decode_tile_range(
+                cont.payloads[bidx], tc, L, s0, s1, g)
+            sel = (lanes == only_lane if only_lane is not None
+                   else np.ones(ps.size, bool))
+            out[ps[sel] - start] = rows[lanes[sel], steps[sel] - step0]
+    return out
 
 
 def _decode_container(cont: fmt.Container) -> np.ndarray:

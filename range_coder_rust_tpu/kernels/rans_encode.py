@@ -175,7 +175,8 @@ def barrett_rows_batch(c2d) -> "np.ndarray":
 def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
                         pre_ref, sz_ref, st_ref, lut_ref, hv_ref, *,
                         a_count: int, tile_steps: int, n_tiles: int,
-                        barrett: bool, sr: int = 8, ablate: str = "none"):
+                        barrett: bool, sr: int = 8, ablate: str = "none",
+                        sync_tiles: int = 0, sync_ref=None):
     """One (group, step-tile), tiles walked in buffer order (= time
     reversed).  Two phases: (1) the sequential per-step state chain, which
     parks each step's candidate halfword + emit flag in ``hv_ref``;
@@ -371,28 +372,39 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
             else:
                 exp_ref[0, 0, :, :] = comp
 
-    @pl.when(tau == n_tiles - 1)
-    def _():
-        # preamble: lane l's state as LE words 2l (lo) / 2l+1 (hi)
+    def _state_words(half):
+        # lane l's state as LE words 2l (lo) / 2l+1 (hi), half rows each
         flat = (
             jax.lax.broadcasted_iota(_I32, (sr, 128), 0) * 128
             + jax.lax.broadcasted_iota(_I32, (sr, 128), 1)
         )
-        lo_rows = _bcast_rows(xlo)
-        hi_rows = _bcast_rows(xhi)
+        word_idx = flat + half * (sr * 128)
+        lane = word_idx >> 1
+        lo_v = _lookup_rows(_bcast_rows(xlo), lane)
+        hi_v = _lookup_rows(_bcast_rows(xhi), lane)
+        return jnp.where((word_idx & 1) == 1, hi_v, lo_v)
+
+    @pl.when(tau == n_tiles - 1)
+    def _():
         for half in range(2):
-            word_idx = flat + half * (sr * 128)
-            lane = word_idx >> 1
-            lo_v = _lookup_rows(lo_rows, lane)
-            hi_v = _lookup_rows(hi_rows, lane)
-            pre_ref[0, pl.ds(half * sr, sr), :] = jnp.where(
-                (word_idx & 1) == 1, hi_v, lo_v
-            )
+            pre_ref[0, pl.ds(half * sr, sr), :] = _state_words(half)
+
+    if sync_ref is not None:
+        # sync slot j-1 records the decoder's state BEFORE time-tile
+        # j*sync_tiles — exactly the encoder's state after processing
+        # buffer tile NT-1-j*sync_tiles (tile-level random access)
+        tt = n_tiles - 1 - tau  # the time-tile this grid step processed
+
+        @pl.when(jnp.logical_and(tt % sync_tiles == 0, tt > 0))
+        def _():
+            for half in range(2):
+                sync_ref[0, 0, pl.ds(half * sr, sr), :] = _state_words(half)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "a_count", "interpret", "ablate"),
+    static_argnames=("block_len", "a_count", "interpret", "ablate",
+                     "sync_tiles"),
 )
 def rans_encode_tiled(
     symbols: jax.Array,
@@ -403,6 +415,7 @@ def rans_encode_tiled(
     a_count: int,
     interpret: bool = False,
     ablate: str = "none",
+    sync_tiles: int = 0,
 ):
     """Encode step-major symbol tiles into per-tile rans16 region blocks.
 
@@ -439,10 +452,16 @@ def rans_encode_tiled(
     barrett = enc_aux is not None
     if not barrett:
         enc_aux = jnp.zeros((16, 128), _U32)
-    kern = functools.partial(
-        _rans_encode_kernel, a_count=a_count, tile_steps=tile,
-        n_tiles=n_tiles, barrett=barrett, sr=sr, ablate=ablate,
-    )
+    n_sync = (n_tiles - 1) // sync_tiles if sync_tiles > 0 else 0
+    base_kw = dict(a_count=a_count, tile_steps=tile, n_tiles=n_tiles,
+                   barrett=barrett, sr=sr, ablate=ablate)
+    if n_sync:
+        def kern(cum, aux, baux, sym, exp, pre, sz, sync, st, lut, hv):
+            _rans_encode_kernel(cum, aux, baux, sym, exp, pre, sz, st,
+                                lut, hv, sync_ref=sync,
+                                sync_tiles=sync_tiles, **base_kw)
+    else:
+        kern = functools.partial(_rans_encode_kernel, **base_kw)
     from .rans_decode import aux_from_cum_flat
 
     if cum_vreg.ndim == 2:  # shared table: broadcast to the group axis
@@ -456,14 +475,32 @@ def rans_encode_tiled(
     # reversed index maps triggered nondeterministic pipelining hangs on
     # v5e in round 2; XLA fuses the flip with the step-major transpose
     sym4 = jnp.flip(symbols.reshape(NG, n_tiles, tile * sr, 128), axis=1)
-    exp, pre, sz = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((NG, n_tiles, rows_e, 128), _U32),
+        jax.ShapeDtypeStruct((NG, 2 * sr, 128), _U32),
+        jax.ShapeDtypeStruct((NG, n_tiles), _I32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, rows_e, 128), lambda g, t: (g, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * sr, 128), lambda g, t: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (NG, NT) array
+    ]
+    if n_sync:
+        out_shape.append(
+            jax.ShapeDtypeStruct((NG, n_sync, 2 * sr, 128), _U32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 2 * sr, 128),
+            lambda g, t: (
+                g,
+                jnp.maximum((n_tiles - 1 - t) // sync_tiles - 1, 0),
+                0, 0),
+            memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
         kern,
         grid=(NG, n_tiles),
-        out_shape=(
-            jax.ShapeDtypeStruct((NG, n_tiles, rows_e, 128), _U32),
-            jax.ShapeDtypeStruct((NG, 2 * sr, 128), _U32),
-            jax.ShapeDtypeStruct((NG, n_tiles), _I32),
-        ),
+        out_shape=tuple(out_shape),
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -477,13 +514,7 @@ def rans_encode_tiled(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, rows_e, 128), lambda g, t: (g, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * sr, 128), lambda g, t: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (NG, NT) array
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((2, sr, 128), _U32),
             pltpu.VMEM((4, tile * sr, 128), _U32),  # hoisted per-step tables
@@ -491,6 +522,10 @@ def rans_encode_tiled(
         ],
         interpret=interpret,
     )(cum_vreg, aux, enc_aux, sym4)
+    if n_sync:
+        exp, pre, sz, syncs = outs
+        return pre, exp, sz, syncs
+    exp, pre, sz = outs
     return pre, exp, sz
 
 

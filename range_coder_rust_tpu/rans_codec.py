@@ -103,14 +103,15 @@ def _tracer():
     return log
 
 
-@functools.partial(jax.jit, static_argnames=("block_len", "a_count", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "block_len", "a_count", "interpret", "sync_tiles"))
 def _encode_device(rows, cum_vreg, enc_aux=None, *, block_len, a_count,
-                   interpret):
-    """(B, L) symbol rows (any int dtype) -> (pre, exp, sizes)."""
+                   interpret, sync_tiles=0):
+    """(B, L) symbol rows (any int dtype) -> (pre, exp, sizes[, syncs])."""
     sym_t = symbols_to_step_major(rows.astype(jnp.int32))
     return rans_encode_tiled(
         sym_t, cum_vreg, enc_aux, block_len=block_len, a_count=a_count,
-        interpret=interpret)
+        interpret=interpret, sync_tiles=sync_tiles)
 
 
 @functools.partial(jax.jit, static_argnames=("ng", "nt", "rpad"))
@@ -255,13 +256,15 @@ def _tile_geometry(block_len: int, group_lanes: int = None
 
 
 def encode_groups(
-    symbols: np.ndarray, table, block_len: int
+    symbols: np.ndarray, table, block_len: int, sync_tiles: int = 0
 ) -> List[bytes]:
     """Encode (NG*G, L) padded symbol rows into per-group payload bytes.
 
     ``table``: one shared Pow2Table, or a LIST of NG tables (one per
     group — the adaptive rans16 mode; same kernels, group-indexed table
-    blocks)."""
+    blocks).  ``sync_tiles=T > 0`` records each group's lane states every
+    T tiles (6 B/lane/sync) so :func:`decode_tile_range` can start
+    decoding mid-group — tile-level random access."""
     n_rows, L = symbols.shape
     if L != block_len or n_rows % G:
         raise ConfigError(f"bad group geometry ({n_rows}, {L})")
@@ -286,14 +289,18 @@ def encode_groups(
     payloads: List[bytes] = []
     bounds_all = [(s, min(s + gpc, NG)) for s in range(0, NG, gpc)]
 
+    n_sync = (NT - 1) // sync_tiles if sync_tiles > 0 else 0
+
     def dispatch(start, stop):
         """Dispatch one batch's H2D + encode kernel (all async)."""
         trace(f"enc batch {start}: H2D + kernel dispatch")
         chunk = jnp.asarray(symbols[start * G : stop * G])
         cv = cum_vreg if cum_vreg.ndim == 2 else cum_vreg[start:stop]
         ea = enc_aux if enc_aux.ndim == 2 else enc_aux[start:stop]
-        return _encode_device(
-            chunk, cv, ea, block_len=L, a_count=a_count, interpret=interp)
+        out = _encode_device(
+            chunk, cv, ea, block_len=L, a_count=a_count, interpret=interp,
+            sync_tiles=sync_tiles if n_sync else 0)
+        return out if n_sync else (*out, None)
 
     # double-buffered pipeline: batch i+1's upload + kernel are in flight
     # while batch i blocks on its sizes/stream fetches — the tunnel and
@@ -301,13 +308,14 @@ def encode_groups(
     inflight = dispatch(*bounds_all[0]) if bounds_all else None
     for bi, (start, stop) in enumerate(bounds_all):
         nb = stop - start
-        pre, exp, sizes = inflight
+        pre, exp, sizes, syncs = inflight
         if bi + 1 < len(bounds_all):
             inflight = dispatch(*bounds_all[bi + 1])
         trace("fetching sizes")
         sizes_np = np.asarray(sizes)          # (nb, NT) buffer order
         trace("sizes fetched; fetching preamble")
         pre_np = np.asarray(pre)              # (nb, 2G/128, 128) u32
+        sync_np = np.asarray(syncs) if n_sync else None
         trace("preamble fetched")
 
         # tile k of the exp buffer holds TIME-tile NT-1-k; regions are
@@ -347,24 +355,37 @@ def encode_groups(
         # 2 bytes always zero (states < 2^48)
         group_hw = s_time.sum(axis=1)
         bounds = np.concatenate([[0], np.cumsum(group_hw)])
-        hdr_nt = np.uint32(NT).tobytes()
+        hdr_nt = np.uint32(NT | (_SYNC_FLAG if n_sync else 0)).tobytes()
+        if n_sync:
+            hdr_nt += np.uint32(sync_tiles).tobytes()
+
+        def states6(words):
+            """(.., 2*sr, 128) u32 state words -> 6-byte LE per lane."""
+            return (words.reshape(-1).view("<u8").view(np.uint8)
+                    .reshape(-1, 8)[:, :6].tobytes())
+
         for g in range(nb):
-            pre6 = (
-                pre_np[g].reshape(-1).view("<u8").view(np.uint8)
-                .reshape(G, 8)[:, :6].tobytes()
-            )
+            sync6 = states6(sync_np[g]) if n_sync else b""
             payloads.append(
                 hdr_nt
                 + s_time[g].astype("<u4").tobytes()
-                + pre6
+                + states6(pre_np[g])
+                + sync6
                 + region_hw[bounds[g] : bounds[g + 1]].tobytes()
             )
         trace("payloads assembled")
     return payloads
 
 
-def _parse_payload(p, block_len: int, group_lanes: int = None):
-    """One group payload -> (sizes (NT,) int64, pre6 bytes, region bytes).
+#: payload NT-word flag: sync-point section present (tile random access)
+_SYNC_FLAG = 1 << 31
+
+
+def _parse_payload(p, block_len: int, group_lanes: int = None,
+                   full: bool = False):
+    """One group payload -> (sizes (NT,) int64, pre6 bytes, region bytes);
+    with ``full=True`` additionally ``(sync_T, sync6 bytes)`` (sync_T = 0
+    when the payload has no sync section).
 
     The tile size is DERIVED from the payload's own NT (tile = L / NT),
     so containers written by encoders with other group widths or tile
@@ -373,20 +394,35 @@ def _parse_payload(p, block_len: int, group_lanes: int = None):
     p = memoryview(p)
     if len(p) < 4:
         raise InvalidHeader("rans16 payload too short")
-    nt = int(np.frombuffer(p[:4], "<u4")[0])
+    nt_word = int(np.frombuffer(p[:4], "<u4")[0])
+    nt = nt_word & ~_SYNC_FLAG
+    has_sync = bool(nt_word & _SYNC_FLAG)
     if nt < 1 or block_len % nt:
         raise InvalidHeader(
             f"rans16 payload has {nt} tiles for lane length {block_len}")
     tile = block_len // nt
-    head = 4 + 4 * nt
-    sizes = np.frombuffer(p[4:head], "<u4").astype(np.int64)
+    off = 4
+    sync_t = 0
+    if has_sync:
+        sync_t = int(np.frombuffer(p[4:8], "<u4")[0])
+        if sync_t < 1:
+            raise InvalidHeader("rans16 sync period must be >= 1")
+        off = 8
+    head = off + 4 * nt
+    sizes = np.frombuffer(p[off:head], "<u4").astype(np.int64)
     if np.any(sizes > tile * g):
         raise InvalidHeader("rans16 tile size exceeds capacity")
     pre6 = p[head : head + 6 * g]
-    off = head + 6 * g
-    if len(pre6) != 6 * g or off + 2 * int(sizes.sum()) != len(p):
+    off2 = head + 6 * g
+    n_sync = (nt - 1) // sync_t if has_sync else 0
+    sync6 = p[off2 : off2 + 6 * g * n_sync]
+    off2 += 6 * g * n_sync
+    if (len(pre6) != 6 * g or len(sync6) != 6 * g * n_sync
+            or off2 + 2 * int(sizes.sum()) != len(p)):
         raise InvalidHeader("rans16 payload size mismatch")
-    return sizes, pre6, p[off:]
+    if full:
+        return sizes, pre6, p[off2:], sync_t, sync6
+    return sizes, pre6, p[off2:]
 
 
 def decode_groups(
@@ -499,6 +535,77 @@ def _decode_batch(
     return (flat_dev, NG, g, block_len, trace)
 
 
+def decode_tile_range(
+    payload, table_c: np.ndarray, block_len: int,
+    step_lo: int, step_hi: int, group_lanes: int = None,
+):
+    """Decode a STEP range of one group payload without decoding the rest.
+
+    Starts at the nearest sync point at or before ``step_lo`` (the
+    preamble when the payload has no sync section — sizes still let the
+    decode stop at ``step_hi``, so the tail is never decoded) and decodes
+    through ``step_hi``.  Returns ``(rows (g, steps), step0)`` where
+    ``rows[:, s - step0]`` is every lane's symbol at step ``s`` —
+    tile-level random access (SURVEY §5 checkpoint/resume at the shipping
+    geometry; VERDICT r3 item 6).
+    """
+    g = group_lanes if group_lanes else G
+    sizes, pre6, region, sync_t, sync6 = _parse_payload(
+        payload, block_len, g, full=True)
+    NT = sizes.shape[0]
+    tile = block_len // NT
+    if not 0 <= step_lo < step_hi <= block_len:
+        raise ConfigError(
+            f"step range [{step_lo}, {step_hi}) outside [0, {block_len})")
+    tile_lo = step_lo // tile
+    tile_hi = -(-step_hi // tile)
+    if sync_t:
+        j = min(tile_lo // sync_t, (NT - 1) // sync_t)
+    else:
+        j = 0
+    t0 = j * sync_t
+    states6 = bytes(pre6) if j == 0 else bytes(
+        sync6[(j - 1) * 6 * g : j * 6 * g])
+    nt_sub = tile_hi - t0
+    sub_sizes = sizes[t0:tile_hi]
+    off_hw = int(sizes[:t0].sum())
+    region_hw = np.frombuffer(region, "<u2")[
+        off_hw : off_hw + int(sub_sizes.sum())]
+
+    # one-group decode plumbing (mirror of _decode_batch)
+    flat_sz = sub_sizes
+    H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
+    a_row = (H >> 8).astype(np.int64)
+    b_row = (H + flat_sz + 255) >> 8
+    rpad = _rpad_for(int((b_row - a_row).max(initial=1)), g)
+    R = -(-max(int(region_hw.size), 1) // (256 * 8)) * 8
+    ridx = np.minimum(
+        a_row[:, None] + np.arange(rpad)[None, :], max(R - 1, 0)
+    ).astype(np.int32).reshape(-1)
+    starts = (H & 255).astype(np.int32).reshape(1, nt_sub)
+    buf = np.zeros(R * 512, np.uint8)
+    buf[: region_hw.size * 2] = region_hw.view(np.uint8)
+    pre8 = np.zeros((g, 8), np.uint8)
+    pre8[:, :6] = np.frombuffer(states6, np.uint8).reshape(g, 6)
+    x = pre8.reshape(g * 8).view("<u8")
+    words = np.empty(2 * g, np.uint32)
+    words[0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
+    words[1::2] = (x >> 32).astype(np.uint32)
+
+    a_count = int(table_c.shape[-1])
+    out_dtype = (jnp.uint8 if a_count <= 256
+                 else jnp.uint16 if a_count <= 65536 else jnp.int32)
+    cum_vreg = jnp.asarray(prep_cum_vreg(
+        np.concatenate([[0], np.cumsum(table_c)]).astype(np.uint32)))
+    flat = _fetch(_decode_fused(
+        jnp.asarray(buf.view("<u4").reshape(R, 128)),
+        jnp.asarray(ridx), jnp.asarray(starts),
+        jnp.asarray(words.reshape(1, 2 * g // 128, 128)), cum_vreg,
+        ng=1, nt=nt_sub, rpad=rpad, block_len=nt_sub * tile,
+        a_count=a_count, out_dtype=out_dtype, interpret=_interpret()))
+    return (flat.astype(np.int32).reshape(g, nt_sub * tile), t0 * tile)
+
+
 def _shrink_lane_len(n: int, L: int) -> int:
     """Smallest valid lane length that still covers ``n`` symbols with one
     group, capped at the requested ``L`` — long lanes only pay off when
@@ -520,6 +627,7 @@ def encode(
     block_len: int,
     with_checksums: bool = True,
     per_group_tables: bool = False,
+    sync_tiles: int = 0,
 ) -> bytes:
     """Compress a 1-D integer symbol array into a rans16 container.
 
@@ -573,7 +681,7 @@ def encode(
         if n == 0:
             counts[:] = 1
         tables = [build_table_pow2(c, 16) for c in counts]
-        payloads = encode_groups(padded, tables, L)
+        payloads = encode_groups(padded, tables, L, sync_tiles)
         tables_c = np.stack([t.c for t in tables])
     else:
         if table is None:
@@ -587,7 +695,7 @@ def encode(
         padded = _pad_rows_device(
             data_dev, np.asarray(pad_symbol, narrow.dtype),
             rows=ng * G, length=L)
-        payloads = encode_groups(padded, table, L)
+        payloads = encode_groups(padded, table, L, sync_tiles)
         tables_c = table.c
     return fmt.pack(
         k=16,
