@@ -58,6 +58,11 @@ class CodecConfig:
     #: with group-indexed tables).  Use a moderate block_len so groups
     #: are small enough to adapt (32-64 at the 2048-lane default).
     per_group_tables: bool = False
+    #: rans16 group width (lanes per group, multiple of 128).  None =
+    #: rans.GROUP_LANES (2048 — fastest).  Narrower groups (1024) halve
+    #: the 6 B/lane state overhead per symbol at a fixed ADAPTIVE group
+    #: size; the kernels and container are width-generic.
+    group_lanes: Optional[int] = None
     #: rans16 tile-level random access: record every group's lane states
     #: every ``sync_tiles`` tiles (6 B/lane/sync of container overhead —
     #: ~0.3% at sync_tiles=16 with default geometry), letting
@@ -90,6 +95,13 @@ class CodecConfig:
             raise ConfigError(
                 "sync_tiles is rans16 tile random access; planar blocks "
                 "are already independently decodable")
+        if self.group_lanes is not None:
+            if self.profile != "rans16":
+                raise ConfigError("group_lanes applies to rans16 only")
+            if self.group_lanes < 128 or self.group_lanes % 128:
+                raise ConfigError(
+                    f"group_lanes {self.group_lanes} must be a multiple "
+                    "of 128")
 
 
 def _as_symbols(data, alphabet: Optional[int]) -> tuple[np.ndarray, int]:
@@ -176,6 +188,7 @@ def encode(
             with_checksums=config.with_checksums,
             per_group_tables=config.per_group_tables,
             sync_tiles=config.sync_tiles,
+            group_lanes=config.group_lanes,
         )
 
     if table is None:
@@ -206,6 +219,7 @@ def encode(
             block_len=L,
             with_checksums=config.with_checksums,
             sync_tiles=config.sync_tiles,
+            group_lanes=config.group_lanes,
         )
 
     pad_symbol = int(np.argmax(table.c))

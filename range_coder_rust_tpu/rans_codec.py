@@ -104,11 +104,12 @@ def _tracer():
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block_len", "a_count", "interpret", "sync_tiles"))
+    "block_len", "a_count", "interpret", "sync_tiles", "group_lanes"))
 def _encode_device(rows, cum_vreg, enc_aux=None, *, block_len, a_count,
-                   interpret, sync_tiles=0):
+                   interpret, sync_tiles=0, group_lanes=None):
     """(B, L) symbol rows (any int dtype) -> (pre, exp, sizes[, syncs])."""
-    sym_t = symbols_to_step_major(rows.astype(jnp.int32))
+    sym_t = symbols_to_step_major(rows.astype(jnp.int32),
+                                  group_lanes=group_lanes)
     return rans_encode_tiled(
         sym_t, cum_vreg, enc_aux, block_len=block_len, a_count=a_count,
         interpret=interpret, sync_tiles=sync_tiles)
@@ -211,6 +212,25 @@ def _pad_rows_device(data, pad_sym, *, rows, length):
     return full.reshape(rows, length)
 
 
+def _put(host_array):
+    """Host -> device, chunked over threads for large NumPy arrays: the
+    axon tunnel's single-stream H2D measured ~10-50 MB/s; 4-8 parallel
+    streams measure ~2-3x (fetch-forced; see docs/hardware_runs.md).
+    Device arrays pass through (device-side slices, no transfer)."""
+    if not isinstance(host_array, np.ndarray) or host_array.nbytes < (16 << 20):
+        return jnp.asarray(host_array)
+    from concurrent.futures import ThreadPoolExecutor
+
+    shape = host_array.shape
+    flat = host_array.reshape(-1)
+    nthreads = 8
+    chunk = -(-flat.size // nthreads)
+    parts = [flat[i * chunk : (i + 1) * chunk] for i in range(nthreads)]
+    with ThreadPoolExecutor(nthreads) as ex:
+        ds = list(ex.map(jnp.asarray, parts))
+    return jnp.concatenate(ds).reshape(shape)
+
+
 def _fetch(dev_array) -> np.ndarray:
     """Device -> host copy, chunked over threads for large arrays: the
     axon tunnel's single-stream D2H runs ~25 MB/s but parallel streams
@@ -256,20 +276,25 @@ def _tile_geometry(block_len: int, group_lanes: int = None
 
 
 def encode_groups(
-    symbols: np.ndarray, table, block_len: int, sync_tiles: int = 0
+    symbols: np.ndarray, table, block_len: int, sync_tiles: int = 0,
+    group_lanes: int = None
 ) -> List[bytes]:
-    """Encode (NG*G, L) padded symbol rows into per-group payload bytes.
+    """Encode (NG*g, L) padded symbol rows into per-group payload bytes.
 
     ``table``: one shared Pow2Table, or a LIST of NG tables (one per
     group — the adaptive rans16 mode; same kernels, group-indexed table
     blocks).  ``sync_tiles=T > 0`` records each group's lane states every
     T tiles (6 B/lane/sync) so :func:`decode_tile_range` can start
-    decoding mid-group — tile-level random access."""
+    decoding mid-group — tile-level random access.  ``group_lanes``
+    narrows/widens the group (multiple of 128; the kernels are
+    width-generic) — narrower groups halve the per-symbol lane-state
+    overhead at a given ADAPTIVE group size, wider ones run faster."""
+    g = group_lanes if group_lanes else G
     n_rows, L = symbols.shape
-    if L != block_len or n_rows % G:
+    if L != block_len or n_rows % g:
         raise ConfigError(f"bad group geometry ({n_rows}, {L})")
-    NG = n_rows // G
-    tile, NT = _tile_geometry(L)
+    NG = n_rows // g
+    tile, NT = _tile_geometry(L, g)
     if not isinstance(table, Pow2Table):  # a LIST of per-group tables
         if len(table) != NG:
             raise ConfigError(f"{len(table)} tables for {NG} groups")
@@ -284,7 +309,7 @@ def encode_groups(
         a_count = int(table.c.shape[0])
     interp = _interpret()
 
-    gpc = _groups_per_call(L)
+    gpc = _groups_per_call(L, g)
     trace = _tracer()
     payloads: List[bytes] = []
     bounds_all = [(s, min(s + gpc, NG)) for s in range(0, NG, gpc)]
@@ -294,12 +319,12 @@ def encode_groups(
     def dispatch(start, stop):
         """Dispatch one batch's H2D + encode kernel (all async)."""
         trace(f"enc batch {start}: H2D + kernel dispatch")
-        chunk = jnp.asarray(symbols[start * G : stop * G])
+        chunk = _put(symbols[start * g : stop * g])
         cv = cum_vreg if cum_vreg.ndim == 2 else cum_vreg[start:stop]
         ea = enc_aux if enc_aux.ndim == 2 else enc_aux[start:stop]
         out = _encode_device(
             chunk, cv, ea, block_len=L, a_count=a_count, interpret=interp,
-            sync_tiles=sync_tiles if n_sync else 0)
+            sync_tiles=sync_tiles if n_sync else 0, group_lanes=g)
         return out if n_sync else (*out, None)
 
     # double-buffered pipeline: batch i+1's upload + kernel are in flight
@@ -324,7 +349,7 @@ def encode_groups(
         counts = ((s_time + 255) >> 8).reshape(-1)         # rows per tile
         base = (
             (np.arange(nb)[:, None] * NT + np.arange(NT)[None, ::-1])
-            * (_rows_e(tile) // 2)
+            * (_rows_e(tile, g) // 2)
         ).reshape(-1)                          # packed-row base per TIME tile
         total = int(counts.sum())
         csum = np.cumsum(counts) - counts
@@ -513,7 +538,7 @@ def _decode_batch(
 
     buf = np.zeros(R * 512, np.uint8)
     buf[: stream_hw.size * 2] = np.frombuffer(region, np.uint8)
-    stream_rows = jnp.asarray(buf.view("<u4").reshape(R, 128))
+    stream_rows = _put(buf.view("<u4").reshape(R, 128))
 
     # preamble: 6-byte LE states -> (NG, 2*g/128, 128) u32 lo/hi word pairs
     pre8 = np.zeros((NG, g, 8), np.uint8)
@@ -606,17 +631,19 @@ def decode_tile_range(
     return (flat.astype(np.int32).reshape(g, nt_sub * tile), t0 * tile)
 
 
-def _shrink_lane_len(n: int, L: int) -> int:
+def _shrink_lane_len(n: int, L: int, group_lanes: int = None) -> int:
     """Smallest valid lane length that still covers ``n`` symbols with one
     group, capped at the requested ``L`` — long lanes only pay off when
     there is data to fill them, and shrinking caps the padding waste.
-    Valid lengths: any value <= TILE_STEPS, else multiples of TILE_STEPS."""
-    need = max(1, -(-n // G))
+    Valid lengths: any value <= the tile size, else multiples of it."""
+    g = group_lanes if group_lanes else G
+    ts = tile_steps_for(g)
+    need = max(1, -(-n // g))
     if need >= L:
         return L
-    if need <= TILE_STEPS:
+    if need <= ts:
         return need
-    return min(L, -(-need // TILE_STEPS) * TILE_STEPS)
+    return min(L, -(-need // ts) * ts)
 
 
 def encode(
@@ -628,22 +655,26 @@ def encode(
     with_checksums: bool = True,
     per_group_tables: bool = False,
     sync_tiles: int = 0,
+    group_lanes: int = None,
 ) -> bytes:
     """Compress a 1-D integer symbol array into a rans16 container.
 
     ``block_len`` is the REQUESTED lane length; it is shrunk (to a
-    multiple of TILE_STEPS, or less for tiny inputs) when the input is too
-    small to fill even one group at that length.
+    multiple of the tile size, or less for tiny inputs) when the input is
+    too small to fill even one group at that length.
 
     ``table=None`` builds the shared order-0 table ON DEVICE from the
     uploaded data (one-hot MXU histogram) — np.bincount costs seconds at
     GB scale on this class of host, and the data has to go up anyway.
 
     ``per_group_tables=True`` is the ADAPTIVE rans16 mode: a separate
-    order-0 table per group of ``1024 * L`` symbols (two-pass: device
-    histogram per group, then the same kernels with group-indexed table
-    blocks — adaptive coding at full kernel speed).  Pick a moderate
-    ``block_len`` (e.g. 1024-4096) so groups are small enough to adapt.
+    order-0 table per group of ``group_lanes * L`` symbols (two-pass:
+    device histogram per group, then the same kernels with group-indexed
+    table blocks — adaptive coding at full kernel speed).  Pick a small
+    ``block_len`` so groups are small enough to adapt, and consider
+    ``group_lanes=1024``: narrower groups halve the 6 B/lane state
+    overhead per symbol at a fixed adaptive group size (the default
+    2048-lane groups maximize shared-table throughput instead).
     """
     if table is not None and table.k != 16:
         raise ConfigError("rans16 profile requires k == 16")
@@ -660,12 +691,15 @@ def encode(
         # encode call is capped well above the supported batch sizes
         raise ConfigError(
             f"{n} symbols in one encode call exceeds 2^31; split the input")
-    _tile_geometry(block_len)  # validate requested geometry
-    L = _shrink_lane_len(n, block_len)
-    ng = max(1, math.ceil(n / (G * L)))
+    g = group_lanes if group_lanes else G
+    if g < 128 or g % 128:
+        raise ConfigError(f"group_lanes {g} must be a multiple of 128")
+    _tile_geometry(block_len, g)  # validate requested geometry
+    L = _shrink_lane_len(n, block_len, g)
+    ng = max(1, math.ceil(n / (g * L)))
 
     narrow = symbols if alphabet > 256 else symbols.astype(np.uint8)
-    data_dev = jnp.asarray(narrow)  # the one upload of the corpus
+    data_dev = _put(narrow)  # the one upload of the corpus
     from .models.table import build_table_pow2
 
     if per_group_tables:
@@ -674,14 +708,14 @@ def encode(
         pad_symbol = int(symbols[-1]) if n else 0
         padded = _pad_rows_device(
             data_dev, np.asarray(pad_symbol, narrow.dtype),
-            rows=ng * G, length=L)
+            rows=ng * g, length=L)
         counts = np.asarray(_histogram_groups(
             padded.reshape(-1), alphabet=alphabet, n_groups=ng)
         ).astype(np.uint64)
         if n == 0:
             counts[:] = 1
         tables = [build_table_pow2(c, 16) for c in counts]
-        payloads = encode_groups(padded, tables, L, sync_tiles)
+        payloads = encode_groups(padded, tables, L, sync_tiles, g)
         tables_c = np.stack([t.c for t in tables])
     else:
         if table is None:
@@ -694,8 +728,8 @@ def encode(
         pad_symbol = int(np.argmax(table.c))
         padded = _pad_rows_device(
             data_dev, np.asarray(pad_symbol, narrow.dtype),
-            rows=ng * G, length=L)
-        payloads = encode_groups(padded, table, L, sync_tiles)
+            rows=ng * g, length=L)
+        payloads = encode_groups(padded, table, L, sync_tiles, g)
         tables_c = table.c
     return fmt.pack(
         k=16,
@@ -707,7 +741,7 @@ def encode(
         per_block_tables=per_group_tables,
         with_checksums=with_checksums,
         profile="rans16",
-        group_lanes=G,
+        group_lanes=g,
     )
 
 

@@ -75,7 +75,7 @@ def main():
     L = int(os.environ.get("RC_ADAPT_L", "32"))  # 2048-lane groups -> 64 KB
     reps = int(os.environ.get("RC_ADAPT_REPS", "3"))
     n = mb << 20
-    G = rans_codec.G
+    G = int(os.environ.get("RC_ADAPT_G", str(rans_codec.G)))
     data = mixed_corpus(n)
     NG = n // (G * L)
     dev = jax.devices()[0]
@@ -105,8 +105,8 @@ def main():
     enc_aux_all = barrett_rows_batch(tables_c)
 
     # --- device-resident batches -------------------------------------
-    gpc = rans_codec._groups_per_call(L)
-    tile, NT = rans_codec._tile_geometry(L)
+    gpc = rans_codec._groups_per_call(L, G)
+    tile, NT = rans_codec._tile_geometry(L, G)
     batches = []
     for s in range(0, NG, gpc):
         e = min(s + gpc, NG)
@@ -126,8 +126,22 @@ def main():
 
     def enc_dispatch(rows_d, cv, ea):
         pre, exp, sizes = rans_codec._encode_device(
-            rows_d, cv, ea, block_len=L, a_count=256, interpret=False)
+            rows_d, cv, ea, block_len=L, a_count=256, interpret=False,
+            group_lanes=G)
         return pre, exp, sizes
+
+    def _enc_row_idx_g(sizes_np, nb, NT, tile, g):
+        s_time = sizes_np[:, ::-1]
+        counts = ((s_time + 255) >> 8).reshape(-1)
+        base = ((np.arange(nb)[:, None] * NT + np.arange(NT)[None, ::-1])
+                * (rans_codec._rows_e(tile, g) // 2)).reshape(-1)
+        total = int(counts.sum())
+        csum = np.cumsum(counts) - counts
+        offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+        row_idx = (np.repeat(base, counts) + offs).astype(np.int32)
+        rows_out = -(-max(total, 1) // rans_codec._ROWS_BUCKET) \
+            * rans_codec._ROWS_BUCKET
+        return np.pad(row_idx, (0, rows_out - total)), rows_out
 
     # warm + build per-batch compaction row indices (reused across reps —
     # they depend only on sizes, identical across reps)
@@ -135,16 +149,15 @@ def main():
     for rows_d, cv, ea, nb in batches:
         pre, exp, sizes = enc_dispatch(rows_d, cv, ea)
         sizes_np = np.asarray(sizes)
-        import bench as _b  # reuse the row-index builder
-
-        ri, rows_out = _b._enc_row_idx(sizes_np, nb, NT, tile, rans_codec)
+        ri, rows_out = _enc_row_idx_g(sizes_np, nb, NT, tile, G)
         enc_extra.append((jax.device_put(jnp.asarray(ri), dev), rows_out))
     log("encode warmed; row indices staged")
 
     def enc_full(i, rows_d):
         cv, ea = batches[i][1], batches[i][2]
         pre, exp, sizes = rans_codec._encode_device(
-            rows_d, cv, ea, block_len=L, a_count=256, interpret=False)
+            rows_d, cv, ea, block_len=L, a_count=256, interpret=False,
+            group_lanes=G)
         words = pack_and_gather(exp, enc_extra[i][0],
                                 rows_out=enc_extra[i][1])
         return words, sizes
@@ -166,8 +179,9 @@ def main():
         f"({n / 1e9 / enc_best:.3f} GB/s)")
 
     # --- decode: real container -> device-resident decode batches ------
-    cfg = api.CodecConfig(profile="rans16", block_len=L,
-                          per_group_tables=True)
+    cfg = api.CodecConfig(
+        profile="rans16", block_len=L, per_group_tables=True,
+        group_lanes=None if G == rans_codec.G else G)
     blob = api.encode(data.astype(np.uint8), alphabet=256, config=cfg)
     bits = 8 * len(blob) / n
     cont = fmt.unpack(blob)

@@ -14,7 +14,7 @@ wall time necessarily grows ~N/cores; the scaling-relevant quantities are
   adds (target <= 1.1).  The hot loop has no collectives by design
   (parallel/dist.py): blocks are independent, tables replicated.
 
-Writes SCALING_r03.json.  Usage: python scripts/scaling_bench.py
+Writes SCALING_r04.json.  Usage: python scripts/scaling_bench.py
 Env: RC_SCALE_MB_PER_DEV (default 64), RC_SCALE_L (default 4096),
 RC_SCALE_REPS (default 2).
 """
@@ -53,6 +53,7 @@ def log(*a):
 
 
 def bench_n(n_dev: int, blocks_per_dev: int, L: int, k: int, reps: int):
+    """Returns (total_s, enc_s, dec_s, n_symbols) best-of-reps."""
     devs = jax.devices()[:n_dev]
     mesh = default_mesh(devs)
     B = blocks_per_dev * n_dev
@@ -72,15 +73,46 @@ def bench_n(n_dev: int, blocks_per_dev: int, L: int, k: int, reps: int):
     jax.block_until_ready((code, lengths, out))
     assert np.array_equal(np.asarray(out), data), "sharded round trip failed"
 
-    best = None
+    best = ebest = dbest = None
     for _ in range(reps):
         t0 = time.time()
         code, lengths = enc(syms, c, cum)
+        jax.block_until_ready((code, lengths))
+        te = time.time() - t0
+        t0 = time.time()
         out = dec(code, c, cum)
-        jax.block_until_ready((code, lengths, out))
+        jax.block_until_ready(out)
+        td = time.time() - t0
+        ebest = te if ebest is None else min(ebest, te)
+        dbest = td if dbest is None else min(dbest, td)
+        best = te + td if best is None else min(best, te + td)
+    return best, ebest, dbest, B * L
+
+
+def bench_control(n_dev: int, blocks_per_dev: int, L: int, reps: int):
+    """Partitioning-floor control: a trivial memory-bound elementwise op
+    over the SAME array geometry, sharded the same way — any overhead the
+    virtual CPU mesh's scheduling adds shows up here with zero algorithm
+    in the loop."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()[:n_dev]
+    mesh = default_mesh(devs)
+    B = blocks_per_dev * n_dev
+    x = jnp.asarray(np.arange(B * L, dtype=np.int32).reshape(B, L))
+    sh = NamedSharding(mesh, P("blocks"))
+    f = jax.jit(lambda v: (v * 3 + 1) ^ (v >> 5),
+                in_shardings=sh, out_shardings=sh)
+    y = jax.block_until_ready(f(x))
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        for _i in range(8):
+            y = f(y)
+        jax.block_until_ready(y)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    return best, B * L
+    return best
 
 
 def main():
@@ -93,7 +125,7 @@ def main():
     results = {}
     # weak scaling: per-device work fixed at mb_per_dev
     for n in (1, 2, 4, 8):
-        dt, n_sym = bench_n(n, bpd, L, k, reps)
+        dt, _e, _d, n_sym = bench_n(n, bpd, L, k, reps)
         results[n] = {"time_s": round(dt, 2), "symbols": n_sym,
                       "mb_per_s": round(n_sym / dt / 1e6, 1)}
         log(f"{n} dev: {dt:.2f} s for {n_sym >> 20} M syms (weak, "
@@ -104,18 +136,29 @@ def main():
         ideal = t1 * n / min(n, cores)
         r["efficiency_vs_core_limit"] = round(ideal / r["time_s"], 3)
 
-    # same TOTAL work: 1 device unsharded vs 8 devices sharded
-    dt1, n_sym = bench_n(1, bpd * 8, L, k, reps)
-    dt8 = results[8]["time_s"]
+    # same TOTAL work: 1 device unsharded vs 8 devices sharded,
+    # stage-attributed (VERDICT r3 item 5)
+    dt1, e1, d1, n_sym = bench_n(1, bpd * 8, L, k, reps)
+    dt8, e8, d8, _ = bench_n(8, bpd, L, k, reps)
     overhead = dt8 / dt1
     log(f"8-dev sharded vs 1-dev unsharded, same {n_sym >> 20} M syms: "
-        f"{overhead:.3f}x")
+        f"{overhead:.3f}x (encode {e8 / e1:.3f}x, decode {d8 / d1:.3f}x)")
+
+    # control: the same sharding with a trivial op — the virtual-mesh
+    # scheduling floor on this oversubscribed host
+    c1 = bench_control(1, bpd * 8, L, reps)
+    c8 = bench_control(8, bpd, L, reps)
+    control = c8 / c1
+    log(f"control (trivial sharded op, same geometry): {control:.3f}x")
     out = {
         "metric": "weak-scaling (virtual 8-device CPU mesh)",
         "mb_per_device": mb_per_dev,
         "host_cores": cores,
         "weak_scaling": results,
         "overhead_vs_unsharded_same_work": round(overhead, 4),
+        "overhead_encode": round(e8 / e1, 4),
+        "overhead_decode": round(d8 / d1, 4),
+        "overhead_control_trivial_op": round(control, 4),
         "note": ("virtual devices share this host's physical cores, so "
                  "weak-scaling wall time grows ~N/cores by construction; "
                  "the partitioning-cost signal is "
@@ -126,7 +169,7 @@ def main():
         "blocks_per_device": bpd,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_r03.json")
+        os.path.abspath(__file__))), "SCALING_r04.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

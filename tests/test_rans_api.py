@@ -195,3 +195,22 @@ def test_rans16_wide_alphabet_falls_back_to_planar():
         api.encode(data, alphabet=4096,
                    config=api.CodecConfig(profile="rans16",
                                           per_group_tables=True))
+
+
+def test_rans16_narrow_group_lanes():
+    """group_lanes=1024 containers encode, round-trip and interoperate
+    with the width-generic decoder (the adaptive mode's size knob: half
+    the per-symbol lane-state overhead at a fixed group size)."""
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 200, size=1024 * 96 + 777).astype(np.int32)
+    cfg = api.CodecConfig(profile="rans16", block_len=64, group_lanes=1024)
+    blob = api.encode(data, alphabet=256, config=cfg)
+    cont = fmt.unpack(blob)
+    assert cont.group_lanes == 1024
+    np.testing.assert_array_equal(api.decode(blob), data)
+
+    # adaptive + narrow groups
+    cfg_a = api.CodecConfig(profile="rans16", block_len=64,
+                            group_lanes=1024, per_group_tables=True)
+    blob_a = api.encode(data, alphabet=256, config=cfg_a)
+    np.testing.assert_array_equal(api.decode(blob_a), data)
