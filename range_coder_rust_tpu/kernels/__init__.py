@@ -4,12 +4,12 @@ The planar profile (blocks.py) stores one byte stream per block — ideal
 for XLA's scan machinery, but a fast in-kernel decoder needs per-lane
 reads at data-dependent offsets, which TPU vector units can only do
 within one (8, 128) vreg (Mosaic's 2-D dynamic gathers).  The **rans16
-profile** solves this: 1024 lanes share one group stream laid out in
+profile** solves this: GROUP_LANES lanes (2048 by default) share one group stream laid out in
 *decode consumption order* (the rANS encoder runs backward, so it writes
 that order directly — rans.py), and every decode step reads one
 contiguous, uniformly-advancing window that fits the vreg-gather reach.
 
-Modules: vreg.py (shared (8,128) primitives), compact_flat.py (in-kernel
+Modules: vreg.py (shared (R,128) vreg primitives), compact_flat.py (in-kernel
 stream compaction), rans_encode.py / rans_decode.py (the tiled kernels).
 """
 

@@ -1,6 +1,7 @@
 """Pallas TPU decode kernel for the rans16 profile (rans.py).
 
-Per step, for all 1024 lanes of a group at once:
+Per step, for all GROUP_LANES lanes of a group at once
+(width-generic — sr = lanes/128 sublane-rows of state per step):
 
   1. ``slot = x & 0xFFFF`` — one mask; the rans16 decoder needs **no
      division** (unlike the range decoder's ``(data - lower) / rpt``);
@@ -11,7 +12,7 @@ Per step, for all 1024 lanes of a group at once:
   4. refill: lanes with ``x < 2^32`` shift in one halfword each.  Refilling
      lanes' halfwords are consecutive in the stream (rans.py layout), so a
      boolean lane prefix-sum (two MXU contractions) gives each lane's
-     offset, and the fetch is a gather within an 8-row (4 KB) window.
+     offset, and the fetch is a gather within a _win_rows(sr)-row window.
 
 ## Tile-local streams (round 3)
 

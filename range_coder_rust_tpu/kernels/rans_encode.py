@@ -2,7 +2,7 @@
 
 The encoder iterates symbols BACKWARD (t = L-1 .. 0) — that is what makes
 its emissions land in the decoder's consumption order with no permutation
-stage.  Per step, for all 1024 lanes of a group:
+stage.  Per step, for all GROUP_LANES lanes of a group (width-generic):
 
   1. table probe c, cum by symbol (vreg gathers on the cum table);
   2. renorm: lanes with ``x >= c << 32`` (one u32 compare: ``x.hi >= c``)

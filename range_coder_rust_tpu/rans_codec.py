@@ -31,8 +31,17 @@ Per-group payload layout (container VERSION 2):
     u32 NT | u32 region_hw[NT] (time order) | preamble (6 * G bytes,
     lane l's final state as 48-bit LE at [6l, 6l+6)) | regions 0..NT-1
 
-The 48-bit preamble is exact — states live in [2^32, 2^48) — and saves
-16 bits/lane of container overhead vs round 2's 64-bit layout.
+With sync points (bit 31 of the NT word set — tile random access,
+``sync_tiles``):
+
+    u32 NT|1<<31 | u32 sync_T | u32 region_hw[NT] | preamble |
+    sync states (floor((NT-1)/sync_T) x 6*G bytes, the decoder's lane
+    states before time-tiles sync_T, 2*sync_T, ...) | regions 0..NT-1
+
+The 48-bit states are exact — they live in [2^32, 2^48) — and save
+16 bits/lane of container overhead vs round 2's 64-bit layout.  The
+group width G comes from the container header (width-generic kernels);
+the tile count NT from the payload itself — both self-describing.
 """
 
 from __future__ import annotations
@@ -389,14 +398,14 @@ def encode_groups(
             return (words.reshape(-1).view("<u8").view(np.uint8)
                     .reshape(-1, 8)[:, :6].tobytes())
 
-        for g in range(nb):
-            sync6 = states6(sync_np[g]) if n_sync else b""
+        for bg in range(nb):  # NOTE: must not shadow the group width ``g``
+            sync6 = states6(sync_np[bg]) if n_sync else b""
             payloads.append(
                 hdr_nt
-                + s_time[g].astype("<u4").tobytes()
-                + states6(pre_np[g])
+                + s_time[bg].astype("<u4").tobytes()
+                + states6(pre_np[bg])
                 + sync6
-                + region_hw[bounds[g] : bounds[g + 1]].tobytes()
+                + region_hw[bounds[bg] : bounds[bg + 1]].tobytes()
             )
         trace("payloads assembled")
     return payloads

@@ -214,3 +214,18 @@ def test_rans16_narrow_group_lanes():
                             group_lanes=1024, per_group_tables=True)
     blob_a = api.encode(data, alphabet=256, config=cfg_a)
     np.testing.assert_array_equal(api.decode(blob_a), data)
+
+
+def test_rans16_many_batches_pipeline(monkeypatch):
+    """> 2 device batches exercise the double-buffered pipeline's steady
+    state (a round-4 bug only fired from batch 3 on: the payload loop
+    shadowed the group-width variable)."""
+    from range_coder_rust_tpu import rans, rans_codec
+
+    G = rans.GROUP_LANES
+    L = 16
+    monkeypatch.setattr(rans_codec, "_BATCH_SYMBOLS", G * L)  # 1 group/batch
+    data = _zipf(5 * G * L + 321, seed=31)  # 6 groups -> 6 batches
+    cfg = api.CodecConfig(profile="rans16", block_len=L)
+    blob = api.encode(data, alphabet=256, config=cfg)
+    np.testing.assert_array_equal(api.decode(blob), data)
