@@ -140,8 +140,8 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
         if ablate == "nosearch":
             pass  # idx/cum_s/cc already set above
         elif packed and search_iters == 8:
-            probe_levels = 0 if ablate == "noprobes" else 2
-            for _ in range(probe_levels):  # two more probe levels: width 16
+            probe_levels = {"noprobes": 0, "probes1": 1}.get(ablate, 2)
+            for _ in range(probe_levels):  # dependent probe levels
                 mid = (lo + hi) >> 1
                 jm = jnp.maximum(mid - 1, 0)
                 word = _lookup_rows(srow, jm >> 1)
@@ -149,24 +149,27 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                 go = (slot > (v & _U32(0xFFFF))) | (mid == 0)
                 lo = jnp.where(go, mid, lo)
                 hi = jnp.where(go, hi, mid)
-            # final parallel round over m in [lo, lo+15): words
-            # (lo>>1)-? .. (lo>>1)+7 cover m and the cum/c extraction
+            # final parallel round over m in [lo, lo+W-1): the interval
+            # width after 2 scalar + probe_levels gather levels is
+            # W = a_count >> (2 + probe_levels); W/2 + 2 words cover the
+            # count window AND the c1[idx-1..idx] extraction (with lo
+            # odd, idx = lo+W-1 lands in word base_w + W/2)
+            width = max(a_count >> (2 + probe_levels), 4)
+            n_words = width // 2 + 2
             base_w = lo >> 1
-            # 10 words cover c1[m] for the count window AND c1[idx-1..idx]
-            # extraction: with lo odd, idx = lo+15 lands in word base_w+8
             words = [
                 _lookup_rows(srow, jnp.maximum(base_w + k - 1, 0))
-                for k in range(10)
-            ]  # independent gathers: k-1 in [-1, 9)
+                for k in range(n_words)
+            ]  # independent gathers: k-1 in [-1, n_words-1)
             cnt = jnp.zeros((sr, 128), _I32)
-            for k in range(10):
+            for k in range(n_words):
                 wk = words[k]
                 m0 = ((base_w + k - 1) << 1)
                 for par, c1v in ((0, wk & _U32(0xFFFF)),
                                  (1, wk >> _U32(16))):
                     m = m0 + par
                     ok = jnp.logical_and(
-                        jnp.logical_and(m >= lo, m < lo + 15),
+                        jnp.logical_and(m >= lo, m < lo + width - 1),
                         slot > c1v)
                     cnt = cnt + ok.astype(_I32)
             idx0 = lo + cnt
@@ -184,9 +187,9 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
             # cum[idx] = c1[idx-1]+1 (0 when idx <= j0, where cum==0);
             # cum[idx+1] = c1[idx]+1 (always >= 1, so exact): both words
             # are among the 9 fetched — select by (idx>>1) - base_w + 1
-            sel = (idx >> 1) - base_w + 1  # in [1, 9]
-            wsel = words[9]
-            for k in range(8, 0, -1):
+            sel = (idx >> 1) - base_w + 1  # in [1, n_words-1]
+            wsel = words[n_words - 1]
+            for k in range(n_words - 2, 0, -1):
                 wsel = jnp.where(sel == k, words[k], wsel)
             c1_even = wsel & _U32(0xFFFF)
             c1_odd = wsel >> _U32(16)
@@ -195,7 +198,7 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
             # half of the word BELOW when idx is even (idx == 0 never
             # reads it — covered by the idx <= j0 rule)
             wsel_m = words[0]
-            for k in range(9, 0, -1):
+            for k in range(n_words - 1, 0, -1):
                 wsel_m = jnp.where(sel == k, words[k - 1], wsel_m)
             c1_im1 = jnp.where(odd, c1_even, wsel_m >> _U32(16))
             c1_i = jnp.where(odd, c1_odd, c1_even)     # c1[idx]

@@ -119,7 +119,7 @@ def main():
         return best
 
     results = {}
-    for abl in ("none", "hprefix", "noprobes", "nosearch", "noprefix",
+    for abl in ("none", "probes1", "hprefix", "noprobes", "nosearch", "noprefix",
                 "norefill"):
         results[abl] = timed(abl, lambda p, a=abl: rans_decode_tiled(
             padded, starts_d, p, cum_vreg, block_len=L, a_count=256,
