@@ -51,6 +51,9 @@ def _cmd_encode(args) -> int:
                 profile=args.profile,
                 raw_total=args.raw_total,
                 with_checksums=not args.no_checksums,
+                per_group_tables=args.per_group_tables,
+                sync_tiles=args.sync_tiles,
+                group_lanes=args.group_lanes,
             ),
         )
     dt = time.time() - t0
@@ -166,6 +169,17 @@ def main(argv=None) -> int:
                     help="raw-histogram table (arbitrary u32 total), "
                          "planar only")
     pe.add_argument("--adaptive", action="store_true", help="per-block tables")
+    pe.add_argument(
+        "--per-group-tables", action="store_true",
+        help="adaptive rans16: one table per group (the fast adaptive mode)")
+    pe.add_argument(
+        "--sync-tiles", type=int, default=0,
+        help="rans16 tile random access: record lane states every N tiles "
+             "(e.g. 128 ~ 0.2%% size for fast decode --start/--count)")
+    pe.add_argument(
+        "--group-lanes", type=int, default=None,
+        help="rans16 group width (multiple of 128; default 2048 — "
+             "1024 halves state overhead for small adaptive groups)")
     pe.add_argument("--no-checksums", action="store_true")
     pe.set_defaults(fn=_cmd_encode)
 

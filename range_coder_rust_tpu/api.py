@@ -64,10 +64,13 @@ class CodecConfig:
     #: size; the kernels and container are width-generic.
     group_lanes: Optional[int] = None
     #: rans16 tile-level random access: record every group's lane states
-    #: every ``sync_tiles`` tiles (6 B/lane/sync of container overhead —
-    #: ~0.3% at sync_tiles=16 with default geometry), letting
-    #: api.decode_range start decoding mid-group instead of touching the
-    #: whole group.  0 = off (the default keeps the headline size).
+    #: every ``sync_tiles`` tiles (6 B/lane/sync of container overhead),
+    #: letting api.decode_range start decoding mid-group instead of
+    #: touching the whole group.  At the default geometry (2048 lanes,
+    #: 32-step tiles) sync_tiles=128 costs ~0.2% of container size and a
+    #: 1 KB read decodes a <= 128*32*2048 ~ 8M-symbol window (measured
+    #: ~0.3-1.4 s over the tunnel vs ~18+ s for the groupwise path).
+    #: 0 = off (the default keeps the headline size).
     sync_tiles: int = 0
 
     def __post_init__(self):
