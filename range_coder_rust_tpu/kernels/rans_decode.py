@@ -150,11 +150,17 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                 lo = jnp.where(go, mid, lo)
                 hi = jnp.where(go, hi, mid)
             # final parallel round over m in [lo, lo+W-1): the interval
-            # width after 2 scalar + probe_levels gather levels is
-            # W = a_count >> (2 + probe_levels); W/2 + 2 words cover the
-            # count window AND the c1[idx-1..idx] extraction (with lo
-            # odd, idx = lo+W-1 lands in word base_w + W/2)
-            width = max(a_count >> (2 + probe_levels), 4)
+            # width after 2 scalar + probe_levels gather levels is W =
+            # repeated CEIL-halving of a_count (the search splits at
+            # (lo+hi)>>1, so the surviving side is ceil(w/2) — floor
+            # underestimates for non-pow2 alphabets: 129 -> 9, not 8);
+            # W/2 + 2 words cover the count window AND the c1[idx-1..idx]
+            # extraction (with lo odd, idx = lo+W-1 lands in word
+            # base_w + W/2)
+            width = a_count
+            for _ in range(2 + probe_levels):
+                width = (width + 1) // 2
+            width = max(width, 4)
             n_words = width // 2 + 2
             base_w = lo >> 1
             words = [
