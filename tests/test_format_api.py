@@ -159,3 +159,43 @@ def test_chunked_encode_decode_paths():
     data = RNG.integers(0, 30, size=256 * 11 + 3)
     blob = api.encode(data, config=cfg)
     assert np.array_equal(api.decode(blob), data)
+
+
+def test_rans16_payload_validation_errors():
+    """Malformed rans16 payloads raise typed InvalidHeader, never crash:
+    truncation, inconsistent tile counts, oversized tile sizes, bad sync
+    period (reference panics on truncated input, src/decoder.rs:33 —
+    SURVEY §5 mandates typed validation instead)."""
+    import numpy as np
+    import pytest
+
+    from range_coder_rust_tpu import rans, rans_codec
+    from range_coder_rust_tpu.errors import InvalidHeader
+
+    G = rans.GROUP_LANES
+    L = 64
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 100, size=(G, L)).astype(np.int32)
+    from range_coder_rust_tpu.models.table import table_from_data_pow2
+
+    t = table_from_data_pow2(data, 100, 16)
+    p = rans_codec.encode_groups(data, t, L)[0]
+
+    with pytest.raises(InvalidHeader):
+        rans_codec._parse_payload(p[:3], L)            # truncated header
+    with pytest.raises(InvalidHeader):
+        rans_codec._parse_payload(p[: len(p) // 2], L)  # truncated body
+    bad = bytearray(p)
+    bad[0:4] = np.uint32(7).tobytes()                   # 7 tiles for L=64
+    with pytest.raises(InvalidHeader):
+        rans_codec._parse_payload(bytes(bad), L)
+    bad = bytearray(p)
+    nt = int(np.frombuffer(p[:4], "<u4")[0])
+    bad[4:8] = np.uint32(1 << 30).tobytes()             # size > capacity
+    with pytest.raises(InvalidHeader):
+        rans_codec._parse_payload(bytes(bad), L)
+    bad = bytearray(p)
+    bad[0:4] = np.uint32(nt | (1 << 31)).tobytes()      # sync flag, T=0
+    bad[4:8] = np.uint32(0).tobytes()
+    with pytest.raises(InvalidHeader):
+        rans_codec._parse_payload(bytes(bad), L)
