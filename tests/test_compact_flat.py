@@ -1,20 +1,22 @@
-"""compact_flat must equal NumPy boolean compress for any mask."""
+"""The whole-tile stream compaction must equal NumPy boolean compress for
+any mask, and the flat rolls / lane-prefix primitives it builds on must be
+exact (they define the rans16 region byte layout)."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from range_coder_rust_tpu.kernels.compact_flat import (
-    compact_flat,
-    flat_roll_dyn,
+    compact_flat_tile,
     flat_roll_pow2,
 )
+from range_coder_rust_tpu.kernels.vreg import _lane_prefix_flat
 
 
-def _run(vals, mask):
-    out, rank, total = compact_flat(
-        jnp.asarray(vals.reshape(8, 128)), jnp.asarray(mask.reshape(8, 128))
-    )
+def _run(vals, mask, R=8):
+    v = jnp.asarray(vals.reshape(R, 128))
+    act = jnp.asarray(mask.reshape(R, 128))
+    rank, total = _lane_prefix_flat(act.astype(jnp.int32))
+    out = compact_flat_tile(v, act, rank)
     return np.asarray(out).reshape(-1), int(np.asarray(total))
 
 
@@ -51,45 +53,18 @@ def test_compact_adversarial_masks():
 
 
 def test_flat_rolls():
-    x = np.arange(1024).astype(np.uint32).reshape(8, 128)
-    for d in (1, 2, 64, 128, 256, 512, -1, -128, -300):
-        got = np.asarray(flat_roll_pow2(jnp.asarray(x), d)).reshape(-1)
-        want = np.roll(np.arange(1024), d)
-        np.testing.assert_array_equal(got, want)
-    for s in (0, 1, 127, 128, 1000):
-        got = np.asarray(
-            flat_roll_dyn(jnp.asarray(x), jnp.int32(s))
-        ).reshape(-1)
-        np.testing.assert_array_equal(got, np.roll(np.arange(1024), s))
-
-
-def test_compact_flat_packed_matches_compact_flat():
-    """The single-word packed routing must agree with the 3-array one."""
-    import jax.numpy as jnp
-    from range_coder_rust_tpu.kernels.compact_flat import (
-        compact_flat, compact_flat_packed)
-
-    rng = np.random.default_rng(17)
-    for density in (0.0, 0.1, 0.5, 0.9, 1.0):
-        v = jnp.asarray(rng.integers(0, 1 << 16, (8, 128)), jnp.uint32)
-        act = jnp.asarray(rng.random((8, 128)) < density)
-        c0, r0, t0 = compact_flat(v, act)
-        c1, r1, t1 = compact_flat_packed(v, act)
-        n = int(t0)
-        assert int(t1) == n
-        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
-        np.testing.assert_array_equal(
-            np.asarray(c0).reshape(-1)[:n], np.asarray(c1).reshape(-1)[:n])
+    for R in (8, 64):
+        n = R * 128
+        x = np.arange(n).astype(np.uint32).reshape(R, 128)
+        for d in (1, 2, 64, 128, 256, n // 2, -1, -128, -300):
+            got = np.asarray(flat_roll_pow2(jnp.asarray(x), d)).reshape(-1)
+            np.testing.assert_array_equal(got, np.roll(np.arange(n), d))
 
 
 def test_compact_flat_tile_matches_compress():
     """Whole-tile zombie-routing compaction (round 4): the first ``total``
     flat values must equal NumPy compress for any (R, 128) buffer up to
     the 65536-element cap, across densities and adversarial patterns."""
-    import jax.numpy as jnp
-    from range_coder_rust_tpu.kernels.compact_flat import compact_flat_tile
-    from range_coder_rust_tpu.kernels.vreg import _lane_prefix_flat
-
     rng = np.random.default_rng(23)
     for R in (8, 16, 64, 512):
         n = R * 128
@@ -112,11 +87,9 @@ def test_compact_flat_tile_matches_compress():
 
 
 def test_lane_prefix_vpu_matches_mxu():
-    """The VPU log-prefix (decode's per-step refill rank) must equal the
+    """The VPU log-prefix (kept as a documented variant) must equal the
     MXU-contraction prefix for every shape the kernels use."""
-    import jax.numpy as jnp
-    from range_coder_rust_tpu.kernels.vreg import (
-        _lane_prefix_flat, _lane_prefix_flat_vpu)
+    from range_coder_rust_tpu.kernels.vreg import _lane_prefix_flat_vpu
 
     rng = np.random.default_rng(5)
     for R in (8, 16, 512):
@@ -129,9 +102,7 @@ def test_lane_prefix_vpu_matches_mxu():
 
 
 def test_lane_prefix_hybrid_matches_mxu():
-    import jax.numpy as jnp
-    from range_coder_rust_tpu.kernels.vreg import (
-        _lane_prefix_flat, _lane_prefix_flat_hybrid)
+    from range_coder_rust_tpu.kernels.vreg import _lane_prefix_flat_hybrid
 
     rng = np.random.default_rng(9)
     for R in (8, 16, 512):
