@@ -2,10 +2,14 @@
 
     python scripts/micro_rans_bench.py [MB] [L]
 
-Times each device stage on device-resident inputs with sync-amortized
-repetitions: step-major transform, encode kernel, pack+compaction gather,
-pad gather, decode kernel, narrow finalize — the data for deciding which
-stage to attack next.
+SUPERSEDED for per-stage analysis by scripts/encode_ablation.py and
+scripts/decode_ablation.py: this harness times with block_until_ready,
+which on the axon tunnel can return before execution — the early-stage
+lines here (step_major, encode_kernel) read absurdly fast and the first
+subsequent HOST fetch absorbs their real time.  The fused end-of-chain
+numbers remain roughly honest (they get blocked on by later stages).
+Kept as a smoke/pipeline driver; trust the fetch-forced ablations for
+attribution.
 """
 
 import os
