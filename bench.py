@@ -255,21 +255,9 @@ def _cold_compile_s(jax, jnp, rans_codec, L, NT):
 
 
 def _enc_row_idx(sizes_np, nb, NT, tile, rans_codec):
-    """Compaction row-index from the kernel's per-tile sizes (numpy,
-    mirrors rans_codec.encode_groups — regions LEFT-aligned per tile)."""
-    import numpy as np
-
-    s_time = sizes_np[:, ::-1]
-    counts = ((s_time + 255) >> 8).reshape(-1)
-    base = ((np.arange(nb)[:, None] * NT + np.arange(NT)[None, ::-1])
-            * (rans_codec._rows_e(tile) // 2)).reshape(-1)
-    total = int(counts.sum())
-    csum = np.cumsum(counts) - counts
-    offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
-    row_idx = (np.repeat(base, counts) + offs).astype(np.int32)
-    rows_out = -(-max(total, 1) // rans_codec._ROWS_BUCKET) \
-        * rans_codec._ROWS_BUCKET
-    return np.pad(row_idx, (0, rows_out - total)), rows_out
+    """Delegates to the ONE shared implementation in rans_codec."""
+    ri, rows_out, _, _, _ = rans_codec._enc_row_idx(sizes_np, nb, NT, tile)
+    return ri, rows_out
 
 
 def bench_rans16(jax, jnp, dev, data, t, L, reps):

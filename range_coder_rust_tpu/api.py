@@ -161,18 +161,19 @@ def encode(
     if config.raw_total:
         return _encode_raw(symbols, a, config)
 
-    if config.profile == "rans16" and a > 1024:
-        # the rans16 search tables hold <= 1024 symbols (one cum vreg);
-        # wider alphabets fall back to the planar profile automatically,
-        # mirroring the CLI's k != 16 fallback rule (VERDICT r3 item 7 —
-        # previously this surfaced as a raw ValueError deep in the kernel)
+    if config.profile == "rans16" and a > 1023:
+        # the rans16 search tables hold one cum vreg of A+1 <= 1024
+        # entries, so A <= 1023; wider alphabets fall back to the planar
+        # profile automatically, mirroring the CLI's k != 16 fallback
+        # rule (VERDICT r3 item 7 — previously this surfaced as a raw
+        # ValueError deep in the kernel)
         if config.per_group_tables:
             raise ConfigError(
-                f"alphabet {a} exceeds the rans16 limit of 1024 symbols "
+                f"alphabet {a} exceeds the rans16 limit of 1023 symbols "
                 "and per_group_tables has no planar fallback; use "
-                "adaptive.encode_adaptive or an alphabet <= 1024")
+                "adaptive.encode_adaptive or an alphabet <= 1023")
         config = dataclasses.replace(
-            config, profile="planar", sync_tiles=0,
+            config, profile="planar", sync_tiles=0, group_lanes=None,
             block_len=None if config.block_len == 65536
             else config.block_len)
         L = config.block_len
@@ -385,12 +386,21 @@ def _decode_range_rans16(cont, start: int, count: int, b0: int, b1: int
                         else cont.tables_c)
         la, sa = divmod(a - gbase, L)
         lb, sbm = divmod(b - gbase - 1, L)
+        from . import rans_codec
+
+        _, _, _, sync_t, _ = rans_codec._parse_payload(
+            cont.payloads[bidx], L, g, full=True)
         if lb > la + 1:
             intervals = [(0, L, None)]           # middle lanes need it all
         elif lb == la:
             intervals = [(sa, sbm + 1, None)]
-        else:  # two adjacent lanes: their tail + head step spans
+        elif sync_t:  # two adjacent lanes: their tail + head step spans
             intervals = [(sa, L, la), (0, sbm + 1, lb)]
+        else:
+            # no sync points: the tail interval would decode from tile 0
+            # anyway, so one merged full pass does strictly less work
+            # than tail + head separately (and compiles one geometry)
+            intervals = [(0, L, None)]
         ps = np.arange(a, b)
         lanes = (ps - gbase) // L
         steps = (ps - gbase) % L

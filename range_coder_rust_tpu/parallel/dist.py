@@ -91,11 +91,15 @@ def make_sharded_rans16(
     container assembly downstream is unchanged, which is what makes the
     sharded container byte-identical (tests/test_parallel.py).
 
-    encode(rows (NG*1024, L) any-int, cum_vreg (8,128) u32,
+    With G = rans.GROUP_LANES (2048 default; kernels are width-generic,
+    the width is derived from the input shapes):
+
+    encode(rows (NG*G, L) any-int, cum_vreg (8,128) u32,
            enc_aux (16,128) u32 barrett_rows)
-      -> (pre (NG,16,128) u32, exp (NG,NT,rows_e,128) u32, sizes (NG,NT))
+      -> (pre (NG,2G/128,128) u32, exp (NG,NT,rows_e,128) u32,
+          sizes (NG,NT))
     decode(padded (NG,NT,rpad,128) u32, starts (NG,NT) i32,
-           pre (NG,16,128) u32, cum_vreg) -> (NG, 1024, L) i32
+           pre (NG,2G/128,128) u32, cum_vreg) -> (NG, G, L) i32
 
     ``NG`` must be a multiple of the mesh size.
     """

@@ -226,11 +226,19 @@ def decode_multihost_rans16(
     """Decode this process's group range of a global payload list (the
     mirror of :func:`encode_multihost_rans16`; every process holds the
     replicated payload list after the gather, or parsed it from a
-    container) — returns this process's ``(local_groups * G, L)`` rows."""
+    container) — returns this process's ``(local_groups * G, L)`` rows.
+
+    ``table_c``: (A,) shared counts, or (NG, A) per-group counts for
+    ADAPTIVE containers — per-group tables are sliced to this process's
+    group range alongside the payloads (advisor r4: an unsliced 2-D
+    table paired process 1+'s groups with process 0's tables)."""
     from .. import rans_codec
 
     lo, hi = local_group_range(len(payloads))
-    return rans_codec.decode_groups(payloads[lo:hi], table_c, block_len)
+    tc = np.asarray(table_c)
+    if tc.ndim == 2:
+        tc = tc[lo:hi]
+    return rans_codec.decode_groups(payloads[lo:hi], tc, block_len)
 
 
 def assemble_container(

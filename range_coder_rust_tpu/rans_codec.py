@@ -194,10 +194,19 @@ def _histogram_groups(data, *, alphabet, n_groups):
     (measured 70+ s at 16 MB).  The chunk size is the largest divisor of
     the group size <= 64K symbols, so chunks never straddle groups.
     """
-    import math
-
     gs = data.size // n_groups
-    ch = 2048 * math.gcd(max(gs // 2048, 1), 32) if gs >= 2048 else gs
+    # chunk size must DIVIDE the group size (chunks may never straddle
+    # groups) and stay <= 64K symbols: take the largest divisor in range
+    # (gs is always a multiple of 128 = the lane-count granularity, so
+    # the scan below terminates quickly; advisor r4 — the old
+    # gcd-of-floor formula was not a divisor for gs % 2048 != 0)
+    if gs <= (1 << 16):
+        ch = gs
+    else:
+        k = -(-gs // (1 << 16))
+        while gs % k:
+            k += 1
+        ch = gs // k
     ids = jnp.arange(alphabet, dtype=jnp.int32)
     ones = jnp.ones((1, ch), jnp.bfloat16)
     chunks = data.reshape(-1, ch)
@@ -261,6 +270,31 @@ def _fetch(dev_array) -> np.ndarray:
 def _rows_e(tile: int, group_lanes: int = None) -> int:
     """Expanded rows per tile block: one u32 slot per capacity halfword."""
     return tile * (group_lanes if group_lanes else G) // 128
+
+
+def _enc_row_idx(sizes_np, nb: int, NT: int, tile: int,
+                 group_lanes: int = None):
+    """Compaction row-index for the packed-stream gather, from the encode
+    kernel's per-tile sizes (regions LEFT-aligned per tile block, exp
+    buffer tile k = TIME-tile NT-1-k).  The ONE shared implementation —
+    encode_groups, bench.py and the perf scripts all import it (advisor
+    r4: four drifting copies of this math is how gather bugs ship).
+
+    Returns ``(row_idx, rows_out, s_time, counts, csum)``: padded row
+    indices + bucketed output rows, plus the time-ordered sizes and the
+    per-tile covering-row counts/offsets the junk mask needs."""
+    g = group_lanes if group_lanes else G
+    s_time = sizes_np[:, ::-1]                    # (nb, NT), time order
+    counts = ((s_time + 255) >> 8).reshape(-1)    # covering rows per tile
+    base = ((np.arange(nb)[:, None] * NT + np.arange(NT)[None, ::-1])
+            * (_rows_e(tile, g) // 2)).reshape(-1)
+    total = int(counts.sum())
+    csum = np.cumsum(counts) - counts
+    offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+    row_idx = (np.repeat(base, counts) + offs).astype(np.int32)
+    rows_out = -(-max(total, 1) // _ROWS_BUCKET) * _ROWS_BUCKET
+    return (np.pad(row_idx, (0, rows_out - total)), rows_out,
+            s_time, counts, csum)
 
 
 def _rpad_for(rows_needed: int, group_lanes: int = None) -> int:
@@ -352,21 +386,9 @@ def encode_groups(
         sync_np = np.asarray(syncs) if n_sync else None
         trace("preamble fetched")
 
-        # tile k of the exp buffer holds TIME-tile NT-1-k; regions are
-        # LEFT-aligned at slot 0 of their tile block (round-4 kernel)
-        s_time = sizes_np[:, ::-1]            # (nb, NT) halfwords, time order
-        counts = ((s_time + 255) >> 8).reshape(-1)         # rows per tile
-        base = (
-            (np.arange(nb)[:, None] * NT + np.arange(NT)[None, ::-1])
-            * (_rows_e(tile, g) // 2)
-        ).reshape(-1)                          # packed-row base per TIME tile
+        row_idx, rows_out, s_time, counts, csum = _enc_row_idx(
+            sizes_np, nb, NT, tile, g)
         total = int(counts.sum())
-        csum = np.cumsum(counts) - counts
-        offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
-        row_idx = (np.repeat(base, counts) + offs).astype(np.int32)
-        rows_out = -(-max(total, 1) // _ROWS_BUCKET) * _ROWS_BUCKET
-        row_idx = np.pad(row_idx, (0, rows_out - total))
-
         trace(f"row idx built ({total} rows); pack+gather dispatch")
         words = pack_and_gather(exp, jnp.asarray(row_idx), rows_out=rows_out)
         flat_hw = _fetch(words.reshape(-1)).view("<u2")[: total * 256]
@@ -438,11 +460,15 @@ def _parse_payload(p, block_len: int, group_lanes: int = None,
     off = 4
     sync_t = 0
     if has_sync:
+        if len(p) < 8:
+            raise InvalidHeader("rans16 payload too short for sync header")
         sync_t = int(np.frombuffer(p[4:8], "<u4")[0])
         if sync_t < 1:
             raise InvalidHeader("rans16 sync period must be >= 1")
         off = 8
     head = off + 4 * nt
+    if len(p) < head:  # np.frombuffer on a short/unaligned slice raises
+        raise InvalidHeader("rans16 payload truncated in the size table")
     sizes = np.frombuffer(p[off:head], "<u4").astype(np.int64)
     if np.any(sizes > tile * g):
         raise InvalidHeader("rans16 tile size exceeds capacity")
@@ -689,11 +715,11 @@ def encode(
         raise ConfigError("rans16 profile requires k == 16")
     if per_group_tables and table is not None:
         raise ConfigError("per_group_tables builds its own tables")
-    if alphabet > 1024:
+    if alphabet > 1023:
         raise ConfigError(
-            f"alphabet {alphabet} exceeds the rans16 limit of 1024 "
-            "symbols (one cum-table vreg); use the planar profile — "
-            "api.encode falls back automatically")
+            f"alphabet {alphabet} exceeds the rans16 limit of 1023 "
+            "symbols (one cum-table vreg holds A+1 entries); use the "
+            "planar profile — api.encode falls back automatically")
     n = int(symbols.size)
     if n >= 1 << 31:
         # the device histogram accumulates in int32 (advisor r3); one

@@ -131,17 +131,9 @@ def main():
         return pre, exp, sizes
 
     def _enc_row_idx_g(sizes_np, nb, NT, tile, g):
-        s_time = sizes_np[:, ::-1]
-        counts = ((s_time + 255) >> 8).reshape(-1)
-        base = ((np.arange(nb)[:, None] * NT + np.arange(NT)[None, ::-1])
-                * (rans_codec._rows_e(tile, g) // 2)).reshape(-1)
-        total = int(counts.sum())
-        csum = np.cumsum(counts) - counts
-        offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
-        row_idx = (np.repeat(base, counts) + offs).astype(np.int32)
-        rows_out = -(-max(total, 1) // rans_codec._ROWS_BUCKET) \
-            * rans_codec._ROWS_BUCKET
-        return np.pad(row_idx, (0, rows_out - total)), rows_out
+        ri, rows_out, _, _, _ = rans_codec._enc_row_idx(
+            sizes_np, nb, NT, tile, g)
+        return ri, rows_out
 
     # warm + build per-batch compaction row indices (reused across reps —
     # they depend only on sizes, identical across reps)

@@ -86,16 +86,9 @@ def main():
     tile, NT = rans_codec._tile_geometry(L)
     t1 = time.time()
     sizes_np = np.asarray(sizes)
-    s_time = sizes_np[:, ::-1]
-    counts = ((s_time + 255) >> 8).reshape(-1)  # regions left-aligned
-    base = ((np.arange(ng)[:, None] * NT + np.arange(NT)[None, ::-1])
-            * (rans_codec._rows_e(tile) // 2)).reshape(-1)
+    row_idx, _, _, counts, _ = rans_codec._enc_row_idx(
+        sizes_np, ng, NT, tile)
     total = int(counts.sum())
-    csum = np.cumsum(counts) - counts
-    offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
-    row_idx = np.pad(
-        (np.repeat(base, counts) + offs).astype(np.int32),
-        (0, -(-total // 4096) * 4096 - total))
     log(f"host idx calc   : {(time.time() - t1) * 1e3:8.2f} ms "
         f"({total} rows)")
     ridx_dev = jax.device_put(jnp.asarray(row_idx))

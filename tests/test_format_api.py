@@ -199,3 +199,20 @@ def test_rans16_payload_validation_errors():
     bad[4:8] = np.uint32(0).tobytes()
     with pytest.raises(InvalidHeader):
         rans_codec._parse_payload(bytes(bad), L)
+
+
+def test_rans16_payload_unaligned_truncation():
+    """Truncations that leave non-4-byte-aligned sections must still be
+    typed InvalidHeader, not numpy ValueError (advisor r4)."""
+    import numpy as np
+    import pytest
+
+    from range_coder_rust_tpu import rans_codec
+    from range_coder_rust_tpu.errors import InvalidHeader
+
+    nt_word = np.uint32(2 | (1 << 31)).tobytes()
+    with pytest.raises(InvalidHeader):
+        rans_codec._parse_payload(nt_word + b"\x01\x02", 64)  # 6 bytes
+    with pytest.raises(InvalidHeader):
+        rans_codec._parse_payload(
+            np.uint32(2).tobytes() + b"\x01\x02\x03", 64)  # 7 bytes

@@ -189,7 +189,7 @@ def test_rans16_wide_alphabet_falls_back_to_planar():
     assert cont.profile == "planar"
     np.testing.assert_array_equal(api.decode(blob), data)
 
-    with pytest.raises(ConfigError, match="1024"):
+    with pytest.raises(ConfigError, match="1023"):
         rans_codec.encode(data, alphabet=4096, block_len=64)
     with pytest.raises(ConfigError, match="per_group_tables"):
         api.encode(data, alphabet=4096,
@@ -228,4 +228,36 @@ def test_rans16_many_batches_pipeline(monkeypatch):
     data = _zipf(5 * G * L + 321, seed=31)  # 6 groups -> 6 batches
     cfg = api.CodecConfig(profile="rans16", block_len=L)
     blob = api.encode(data, alphabet=256, config=cfg)
+    np.testing.assert_array_equal(api.decode(blob), data)
+
+
+def test_rans16_adaptive_odd_block_len_narrow_groups():
+    """Adaptive mode with a non-pow2 block_len and narrow groups: the
+    grouped histogram's chunk size must DIVIDE the group size (advisor
+    r4 — the old formula crashed for group_lanes*block_len % 2048 != 0)."""
+    from range_coder_rust_tpu import rans_codec
+
+    rng = np.random.default_rng(17)
+    data = rng.integers(0, 64, size=2 * 1024 * 33).astype(np.int32)
+    blob = rans_codec.encode(
+        data, alphabet=64, block_len=33, per_group_tables=True,
+        group_lanes=1024)
+    np.testing.assert_array_equal(api.decode(blob), data)
+
+
+def test_rans16_alphabet_1024_falls_back():
+    """Alphabet exactly 1024 exceeds the cum vreg's A+1 <= 1024 capacity
+    and must fall back to planar like any wider alphabet (advisor r4:
+    the a > 1024 check was off by one)."""
+    rng = np.random.default_rng(19)
+    data = rng.integers(0, 1024, size=30_000).astype(np.int32)
+    blob = api.encode(data, alphabet=1024,
+                      config=api.CodecConfig(profile="rans16"))
+    assert fmt.unpack(blob).profile == "planar"
+    np.testing.assert_array_equal(api.decode(blob), data)
+    # and with group_lanes set, the fallback must still not trip the
+    # planar config validation
+    blob = api.encode(data, alphabet=1024,
+                      config=api.CodecConfig(profile="rans16",
+                                             group_lanes=1024))
     np.testing.assert_array_equal(api.decode(blob), data)
