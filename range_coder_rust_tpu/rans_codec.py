@@ -538,6 +538,48 @@ def _decode_finish(handle) -> np.ndarray:
     return flat.astype(np.int32).reshape(NG * g, block_len)
 
 
+def _stage_stream_windows(sizes: np.ndarray, region, g: int):
+    """Per-tile window staging shared by every decode path (the batch
+    decoder, decode_tile_range and the perf harnesses — advisor r4: one
+    implementation, not mirrored copies).
+
+    ``sizes`` (nb, NT) halfword sizes in time order; ``region`` the
+    concatenated region bytes (or a uint8 view).  Returns
+    ``(stream_rows, ridx, starts, rpad)``: zero-padded (R, 128) LE word
+    rows, the covering-row gather index, per-tile start offsets, and the
+    padded rows per tile window (>= the kernel's refill-window slack)."""
+    nb, NT = sizes.shape
+    region = np.frombuffer(region, np.uint8) if isinstance(
+        region, (bytes, bytearray, memoryview)) else region.view(np.uint8)
+    flat_sz = sizes.reshape(-1)
+    H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
+    a_row = (H >> 8).astype(np.int64)
+    b_row = (H + flat_sz + 255) >> 8
+    rpad = _rpad_for(int((b_row - a_row).max(initial=1)), g)
+    R = -(-max(region.size // 2, 1) // (256 * 8)) * 8  # word rows, 8-align
+    ridx = np.minimum(
+        a_row[:, None] + np.arange(rpad)[None, :], max(R - 1, 0)
+    ).astype(np.int32).reshape(-1)
+    starts = (H & 255).astype(np.int32).reshape(nb, NT)
+    buf = np.zeros(R * 512, np.uint8)
+    buf[: region.size] = region
+    return buf.view("<u4").reshape(R, 128), ridx, starts, rpad
+
+
+def _states_to_words(states6_list, g: int) -> np.ndarray:
+    """Per-group 6-byte LE lane states -> (nb, 2*g/128, 128) u32 word
+    pairs (lane l = words 2l lo / 2l+1 hi) — the kernels' pre layout."""
+    nb = len(states6_list)
+    pre8 = np.zeros((nb, g, 8), np.uint8)
+    for gi, s6 in enumerate(states6_list):
+        pre8[gi, :, :6] = np.frombuffer(s6, np.uint8).reshape(g, 6)
+    x = pre8.reshape(nb, g * 8).view("<u8")                # (nb, g)
+    words = np.empty((nb, 2 * g), np.uint32)
+    words[:, 0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
+    words[:, 1::2] = (x >> 32).astype(np.uint32)
+    return words.reshape(nb, 2 * g // 128, 128)
+
+
 def _decode_batch(
     payloads: List[bytes], cum_vreg, a_count: int, block_len: int,
     g: int = None
@@ -555,35 +597,12 @@ def _decode_batch(
         raise InvalidHeader("rans16 payloads disagree on tile count")
     sizes = np.stack([s for s, _, _ in parsed])            # (NG, NT)
     region = b"".join(bytes(r) for _, _, r in parsed)
-    stream_hw = np.frombuffer(region, "<u2")
     trace(f"dec batch parsed ({len(region)} region bytes)")
 
-    # per-tile global halfword offsets + covering rows
-    flat_sz = sizes.reshape(-1)
-    H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
-    a_row = (H >> 8).astype(np.int64)
-    b_row = (H + flat_sz + 255) >> 8
-    rows_needed = int((b_row - a_row).max(initial=1))
-    rpad = _rpad_for(rows_needed, g)
-    R = -(-max(int(stream_hw.size), 1) // (256 * 8)) * 8  # word rows, 8-align
-    ridx = np.minimum(
-        a_row[:, None] + np.arange(rpad)[None, :], max(R - 1, 0)
-    ).astype(np.int32).reshape(-1)
-    starts = (H & 255).astype(np.int32).reshape(NG, NT)
-
-    buf = np.zeros(R * 512, np.uint8)
-    buf[: stream_hw.size * 2] = np.frombuffer(region, np.uint8)
-    stream_rows = _put(buf.view("<u4").reshape(R, 128))
-
-    # preamble: 6-byte LE states -> (NG, 2*g/128, 128) u32 lo/hi word pairs
-    pre8 = np.zeros((NG, g, 8), np.uint8)
-    for gi, (_, pre6, _) in enumerate(parsed):
-        pre8[gi, :, :6] = np.frombuffer(pre6, np.uint8).reshape(g, 6)
-    x = pre8.reshape(NG, g * 8).view("<u8")                # (NG, g)
-    words = np.empty((NG, 2 * g), np.uint32)
-    words[:, 0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
-    words[:, 1::2] = (x >> 32).astype(np.uint32)
-    pre = jnp.asarray(words.reshape(NG, 2 * g // 128, 128))
+    rows_np, ridx, starts, rpad = _stage_stream_windows(sizes, region, g)
+    NT = sizes.shape[1]
+    stream_rows = _put(rows_np)
+    pre = jnp.asarray(_states_to_words([p6 for _, p6, _ in parsed], g))
 
     out_dtype = (jnp.uint8 if a_count <= 256
                  else jnp.uint16 if a_count <= 65536 else jnp.int32)
@@ -632,25 +651,9 @@ def decode_tile_range(
     region_hw = np.frombuffer(region, "<u2")[
         off_hw : off_hw + int(sub_sizes.sum())]
 
-    # one-group decode plumbing (mirror of _decode_batch)
-    flat_sz = sub_sizes
-    H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
-    a_row = (H >> 8).astype(np.int64)
-    b_row = (H + flat_sz + 255) >> 8
-    rpad = _rpad_for(int((b_row - a_row).max(initial=1)), g)
-    R = -(-max(int(region_hw.size), 1) // (256 * 8)) * 8
-    ridx = np.minimum(
-        a_row[:, None] + np.arange(rpad)[None, :], max(R - 1, 0)
-    ).astype(np.int32).reshape(-1)
-    starts = (H & 255).astype(np.int32).reshape(1, nt_sub)
-    buf = np.zeros(R * 512, np.uint8)
-    buf[: region_hw.size * 2] = region_hw.view(np.uint8)
-    pre8 = np.zeros((g, 8), np.uint8)
-    pre8[:, :6] = np.frombuffer(states6, np.uint8).reshape(g, 6)
-    x = pre8.reshape(g * 8).view("<u8")
-    words = np.empty(2 * g, np.uint32)
-    words[0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
-    words[1::2] = (x >> 32).astype(np.uint32)
+    rows_np, ridx, starts, rpad = _stage_stream_windows(
+        sub_sizes.reshape(1, nt_sub), region_hw, g)
+    pre = jnp.asarray(_states_to_words([states6], g))
 
     a_count = int(table_c.shape[-1])
     out_dtype = (jnp.uint8 if a_count <= 256
@@ -658,9 +661,8 @@ def decode_tile_range(
     cum_vreg = jnp.asarray(prep_cum_vreg(
         np.concatenate([[0], np.cumsum(table_c)]).astype(np.uint32)))
     flat = _fetch(_decode_fused(
-        jnp.asarray(buf.view("<u4").reshape(R, 128)),
-        jnp.asarray(ridx), jnp.asarray(starts),
-        jnp.asarray(words.reshape(1, 2 * g // 128, 128)), cum_vreg,
+        jnp.asarray(rows_np), jnp.asarray(ridx), jnp.asarray(starts),
+        pre, cum_vreg,
         ng=1, nt=nt_sub, rpad=rpad, block_len=nt_sub * tile,
         a_count=a_count, out_dtype=out_dtype, interpret=_interpret()))
     return (flat.astype(np.int32).reshape(g, nt_sub * tile), t0 * tile)

@@ -192,30 +192,14 @@ def main():
                   for p in cont.payloads[s:e]]
         sizes2 = np.stack([sz for sz, _, _ in parsed])
         region = b"".join(bytes(r) for _, _, r in parsed)
-        flat_sz = sizes2.reshape(-1)
-        H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
-        a_row = (H >> 8).astype(np.int64)
-        b_row = (H + flat_sz + 255) >> 8
-        rpad = rans_codec._rpad_for(int((b_row - a_row).max(initial=1)), G)
-        R = -(-max(-(-len(region) // 512), 1) // 8) * 8
-        ridx = np.minimum(a_row[:, None] + np.arange(rpad)[None, :],
-                          max(R - 1, 0)).astype(np.int32).reshape(-1)
-        starts = (H & 255).astype(np.int32).reshape(nb, NT)
-        buf = np.zeros(R * 512, np.uint8)
-        buf[: len(region)] = np.frombuffer(region, np.uint8)
-        pre8 = np.zeros((nb, G, 8), np.uint8)
-        for gi, (_, p6, _) in enumerate(parsed):
-            pre8[gi, :, :6] = np.frombuffer(p6, np.uint8).reshape(G, 6)
-        x = pre8.reshape(nb, G * 8).view("<u8")
-        wpre = np.empty((nb, 2 * G), np.uint32)
-        wpre[:, 0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
-        wpre[:, 1::2] = (x >> 32).astype(np.uint32)
+        rows_np, ridx, starts, rpad = rans_codec._stage_stream_windows(
+            sizes2, region, G)
+        wpre = rans_codec._states_to_words([p6 for _, p6, _ in parsed], G)
         dec_args.append((
-            jax.device_put(jnp.asarray(buf.view("<u4").reshape(R, 128)), dev),
+            jax.device_put(jnp.asarray(rows_np), dev),
             jax.device_put(jnp.asarray(ridx), dev),
             jax.device_put(jnp.asarray(starts), dev),
-            jax.device_put(jnp.asarray(
-                wpre.reshape(nb, 2 * G // 128, 128)), dev),
+            jax.device_put(jnp.asarray(wpre), dev),
             jax.device_put(jnp.asarray(cum_vreg_all[s:e]), dev),
             nb, rpad,
         ))

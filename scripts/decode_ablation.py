@@ -64,29 +64,14 @@ def main():
     parsed = [rans_codec._parse_payload(pp, L) for pp in payloads]
     sizes = np.stack([s for s, _, _ in parsed])
     region = b"".join(bytes(r) for _, _, r in parsed)
-    flat_sz = sizes.reshape(-1)
-    H = np.concatenate([[0], np.cumsum(flat_sz)])[:-1]
-    a_row = (H >> 8).astype(np.int64)
-    b_row = (H + flat_sz + 255) >> 8
-    rpad = rans_codec._rpad_for(int((b_row - a_row).max(initial=1)))
-    R = -(-max(-(-len(region) // 512), 1) // 8) * 8
-    ridx = np.minimum(a_row[:, None] + np.arange(rpad)[None, :],
-                      max(R - 1, 0)).astype(np.int32).reshape(-1)
-    starts = (H & 255).astype(np.int32).reshape(ng, NT)
-    buf = np.zeros(R * 512, np.uint8)
-    buf[: len(region)] = np.frombuffer(region, np.uint8)
-    pre8 = np.zeros((ng, G, 8), np.uint8)
-    for g, (_, p6, _) in enumerate(parsed):
-        pre8[g, :, :6] = np.frombuffer(p6, np.uint8).reshape(G, 6)
-    x = pre8.reshape(ng, G * 8).view("<u8")
-    wpre = np.empty((ng, 2 * G), np.uint32)
-    wpre[:, 0::2] = (x & 0xFFFFFFFF).astype(np.uint32)
-    wpre[:, 1::2] = (x >> 32).astype(np.uint32)
+    rows_np, ridx, starts, rpad = rans_codec._stage_stream_windows(
+        sizes, region, G)
+    wpre = rans_codec._states_to_words([p6 for _, p6, _ in parsed], G)
 
-    stream_rows = jax.device_put(jnp.asarray(buf.view("<u4").reshape(R, 128)))
+    stream_rows = jax.device_put(jnp.asarray(rows_np))
     ridx_d = jax.device_put(jnp.asarray(ridx))
     starts_d = jax.device_put(jnp.asarray(starts))
-    pre0 = jax.device_put(jnp.asarray(wpre.reshape(ng, 2 * G // 128, 128)))
+    pre0 = jax.device_put(jnp.asarray(wpre))
     jax.block_until_ready([stream_rows, ridx_d, starts_d, pre0])
     log("decode inputs staged on device")
 
