@@ -18,12 +18,29 @@ Per step, for all GROUP_LANES lanes of a group at once
 
 The container records each 64-step tile's region size (format.py v2 /
 kernels/rans_encode.py), so the host can hand the kernel a PADDED
-per-tile window layout — grid (groups, tiles), each tile's stream rows in
-its own input block, the region starting at a per-tile halfword offset
-(SMEM).  Lane states thread across tiles through VMEM scratch; tile 0
-primes them from the 8-byte-per-lane preamble words (a separate tiny
-input).  This replaces round 2's whole-stream-in-VMEM block (which capped
-lane length at a few MB of VMEM) and its host-chained segment calls.
+per-tile window layout — grid (group-blocks, tiles), each tile's stream
+rows in its own input block, the region starting at a per-tile halfword
+offset (SMEM).  Lane states thread across tiles through VMEM scratch;
+tile 0 primes them from the 8-byte-per-lane preamble words (a separate
+tiny input).  This replaces round 2's whole-stream-in-VMEM block (which
+capped lane length at a few MB of VMEM) and its host-chained segment
+calls.
+
+## Interleaved group chains (round 5)
+
+The per-step chain is LATENCY-bound: the round-4 ablations measured ~900
+dependent cycles per step at G=2048 (search probe gathers -> state
+multiply -> MXU refill prefix -> refill window gather), against maybe a
+fifth of that in issue slots — and the search-shape sweep concluded the
+structure is at a local optimum (docs/hardware_runs.md).  The round-5
+lever attacks the latency itself: one grid step now processes a BLOCK of
+``chains`` groups, whose state chains are fully independent, and the
+step loop advances all of them in one body.  Mosaic schedules by
+dataflow, so chain B's gathers issue while chain A's are in flight —
+C-way interleaving converts the latency-bound loop toward issue-bound
+without touching the container format (groups are already independent
+streams).  VMEM cost is C of everything blockwise; the host picks C
+(rans_codec._pick_chains) from the group count and VMEM budget.
 
 Stream words are little-endian u32 (two halfwords per word).  The kernel
 is pure (8, 128)-shaped jnp: identical under ``interpret=True`` (CPU
@@ -57,33 +74,40 @@ def _win_rows(sr: int) -> int:
 
 def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
                         stream_ref, out_ref, st_ref, *, a_count: int,
-                        tile_steps: int, sr: int = 8, ablate: str = "none"):
-    """One (group, step-tile), tiles in time order.  probe_ref SMEM (NG, 5)
-    u32 = cum values at the two data-independent early probe positions
-    plus j0 (see rans_decode_tiled); starts_ref SMEM (NG, NT) i32 = each
-    tile's region start offset (halfwords) within its stream block;
-    cum_ref (8,128) u32 (prep_cum_vreg); pre_ref (1, 16, 128) u32 preamble
-    words (lane l's state = LE words 2l lo / 2l+1 hi); stream_ref
-    (1, 1, rows_pad, 128) u32 LE words — THIS tile's region rows; out_ref
-    (1, 1, tile_steps*8, 128) i32; st_ref VMEM scratch (2, 8, 128) u32
-    state limbs carried across tiles."""
+                        tile_steps: int, sr: int = 8, chains: int = 1,
+                        ablate: str = "none"):
+    """One (group-block, step-tile), tiles in time order; a block holds
+    ``chains`` groups advanced in lock-step (independent chains — see
+    module docstring).  probe_ref SMEM (NG, 5) u32 = cum values at the
+    two data-independent early probe positions plus j0 (see
+    rans_decode_tiled); starts_ref SMEM (NG, NT) i32 = each tile's region
+    start offset (halfwords) within its stream block; cum_ref
+    (chains, 8, 128) u32 (prep_cum_vreg); pre_ref (chains, 2*sr, 128) u32
+    preamble words (lane l's state = LE words 2l lo / 2l+1 hi);
+    stream_ref (chains, 1, rows_pad, 128) u32 LE words — THIS tile's
+    region rows per chain; out_ref (chains, 1, tile_steps*sr, 128) i32;
+    st_ref VMEM scratch (chains, 2, sr, 128) u32 state limbs carried
+    across tiles."""
     tau = pl.program_id(1)
-    g_idx = pl.program_id(0)
+    gb = pl.program_id(0)
     # gathers dominate the step.  For a_count <= 256 ("packed" path) the
     # search probes ONE broadcast row of halfword-packed ``cum[j+1]-1``
     # values (1 gather/probe) and the final cum/c lookup reads a single
     # per-symbol word ``cum[s] | (c[s]-1) << 16`` from two rows; the
     # generic path gathers the plain cum table (2 gathers + select/probe).
     packed = a_count <= 256
-    if packed:
-        srow = _bcast_rows(aux_ref[0, 0:1, :])
-        w2_rows = _bcast_rows(aux_ref[0, 1:3, :])
-    else:
-        n_rows = 1
-        while n_rows * 128 < a_count + 2 and n_rows < 8:
-            n_rows *= 2
-        cum_rows = _bcast_rows(cum_ref[0])[:n_rows]
     search_iters = max(1, (a_count - 1).bit_length())
+
+    tabs = []
+    for j in range(chains):
+        if packed:
+            tabs.append((_bcast_rows(aux_ref[j, 0:1, :]),
+                         _bcast_rows(aux_ref[j, 1:3, :])))
+        else:
+            n_rows = 1
+            while n_rows * 128 < a_count + 2 and n_rows < 8:
+                n_rows *= 2
+            tabs.append((_bcast_rows(cum_ref[j])[:n_rows],))
 
     @pl.when(tau == 0)
     def _():
@@ -92,12 +116,18 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
             jax.lax.broadcasted_iota(_I32, (sr, 128), 0) * 128
             + jax.lax.broadcasted_iota(_I32, (sr, 128), 1)
         )
-        pre_rows = _bcast_rows(pre_ref[0])
-        st_ref[1] = _lookup_rows(pre_rows, lane * 2)      # x.lo
-        st_ref[0] = _lookup_rows(pre_rows, lane * 2 + 1)  # x.hi (<2^16)
+        for j in range(chains):
+            pre_rows = _bcast_rows(pre_ref[j])
+            st_ref[j, 1] = _lookup_rows(pre_rows, lane * 2)      # x.lo
+            st_ref[j, 0] = _lookup_rows(pre_rows, lane * 2 + 1)  # x.hi
 
-    def body(t, carry):
-        xhi, xlo, ch = carry
+    def step(j, xhi, xlo, ch):
+        """Advance chain ``j`` one step; returns (xhi', xlo', ch', idx)."""
+        g_idx = gb * chains + j
+        if packed:
+            srow, w2_rows = tabs[j]
+        else:
+            (cum_rows,) = tabs[j]
 
         # 1-2. slot + symbol search (largest s with cum[s] <= slot).
         # PACKED PATH (a_count <= 256), latency-oriented: the step is
@@ -266,7 +296,7 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
         else:
             lh = ch + rank  # block-local halfword index per lane
             row = ch >> 8  # 256 halfwords per 128-word row
-            win = stream_ref[0, 0, pl.ds(row, _win_rows(sr)), :]
+            win = stream_ref[j, 0, pl.ds(row, _win_rows(sr)), :]
             wrows = _bcast_rows(win)
             lw = (lh >> 1) - row * 128  # window-local word index
             word = _lookup_rows(wrows, lw)
@@ -277,20 +307,31 @@ def _rans_decode_kernel(probe_ref, starts_ref, cum_ref, aux_ref, pre_ref,
         rlo = (nlo << _U32(16)) | h
         xhi2 = jnp.where(cond, rhi, nhi)
         xlo2 = jnp.where(cond, rlo, nlo)
+        return xhi2, xlo2, ch + s_t.astype(_I32), idx
 
-        out_ref[0, 0, pl.ds(t * sr, sr), :] = idx
-        return (xhi2, xlo2, ch + s_t.astype(_I32))
+    def body(t, carry):
+        new = []
+        for j in range(chains):
+            xhi, xlo, ch = carry[3 * j : 3 * j + 3]
+            xhi2, xlo2, ch2, idx = step(j, xhi, xlo, ch)
+            out_ref[j, 0, pl.ds(t * sr, sr), :] = idx
+            new.extend((xhi2, xlo2, ch2))
+        return tuple(new)
 
-    xhi, xlo, _ = jax.lax.fori_loop(
-        0, tile_steps, body,
-        (st_ref[0], st_ref[1], starts_ref[g_idx, tau]),
-    )
-    st_ref[0], st_ref[1] = xhi, xlo
+    init = []
+    for j in range(chains):
+        init.extend((st_ref[j, 0], st_ref[j, 1],
+                     starts_ref[gb * chains + j, tau]))
+    fin = jax.lax.fori_loop(0, tile_steps, body, tuple(init))
+    for j in range(chains):
+        st_ref[j, 0] = fin[3 * j]
+        st_ref[j, 1] = fin[3 * j + 1]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "a_count", "interpret", "ablate"),
+    static_argnames=("block_len", "a_count", "interpret", "ablate",
+                     "chains"),
 )
 def rans_decode_tiled(
     stream: jax.Array,
@@ -302,6 +343,7 @@ def rans_decode_tiled(
     a_count: int,
     interpret: bool = False,
     ablate: str = "none",
+    chains: int = 1,
 ):
     """Decode padded per-tile stream windows -> (NG, G, L) symbols.
 
@@ -315,16 +357,23 @@ def rans_decode_tiled(
       pre: (NG, 16, 128) u32 preamble words (rans_encode layout).
       cum_vreg: (8, 128) uint32 (prep_cum_vreg), or (NG, 8, 128) for
         per-group tables (adaptive rans16).
+      chains: groups interleaved per grid step (must divide NG) — C
+        independent state chains in one loop body hide the latency-bound
+        per-step chain behind each other (see module docstring); the
+        host picks C from NG and the VMEM budget
+        (rans_codec._pick_chains).
     """
     NG, n_tiles, rows_pad, _ = stream.shape
     if block_len % n_tiles:
         raise ValueError(
             f"block_len {block_len} not divisible by {n_tiles} tiles")
+    if chains < 1 or NG % chains:
+        raise ValueError(f"chains {chains} must divide NG {NG}")
     tile = block_len // n_tiles  # the encoder's tiling, from the container
     sr = pre.shape[1] // 2       # group width / 128, from the preamble
     kern = functools.partial(
         _rans_decode_kernel, a_count=a_count, tile_steps=tile, sr=sr,
-        ablate=ablate,
+        chains=chains, ablate=ablate,
     )
     # cum values at the two data-independent early probe positions, plus
     # j0 = largest s with cum[s] == 0 (zero-frequency repair, see
@@ -346,26 +395,27 @@ def rans_decode_tiled(
     probes, aux = jax.vmap(per_group)(cum_vreg)
     out = pl.pallas_call(
         kern,
-        grid=(NG, n_tiles),
+        grid=(NG // chains, n_tiles),
         out_shape=jax.ShapeDtypeStruct((NG, n_tiles, tile * sr, 128), _I32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # probes (NG, 5)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # starts (NG, NT)
-            pl.BlockSpec((1, 8, 128), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((chains, 8, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((chains, 8, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * sr, 128), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((chains, 2 * sr, 128), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows_pad, 128), lambda g, t: (g, t, 0, 0),
+            pl.BlockSpec((chains, 1, rows_pad, 128),
+                         lambda g, t: (g, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tile * sr, 128), lambda g, t: (g, t, 0, 0),
+            (chains, 1, tile * sr, 128), lambda g, t: (g, t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, sr, 128), _U32),
+            pltpu.VMEM((chains, 2, sr, 128), _U32),
         ],
         interpret=interpret,
     )(probes, starts, cum_vreg, aux, pre, stream)

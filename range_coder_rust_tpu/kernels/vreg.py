@@ -39,12 +39,18 @@ def _lookup_rows(rows_bcast: List[jax.Array], idx: jax.Array) -> jax.Array:
     col = (idx & 127).astype(_I32)
     shape = col.shape
     col2 = col.reshape(-1, 128)  # Mosaic supports 2-D gathers only
+    n = col2.shape[0]
+
+    def _tab(r):
+        # r's 8 sublanes are identical (sublane-broadcast), so any row
+        # count can be served; non-multiples of 8 (narrow groups,
+        # sr < 8) broadcast the first sublane directly
+        if n % 8 == 0:
+            return jnp.broadcast_to(r, (n // 8, 8, 128)).reshape(-1, 128)
+        return jnp.broadcast_to(r[:1], (n, 128))
+
     gathered = [
-        jnp.take_along_axis(
-            jnp.broadcast_to(r, (col2.shape[0] // 8, 8, 128)).reshape(-1, 128),
-            col2,
-            axis=-1,
-        ).reshape(shape)
+        jnp.take_along_axis(_tab(r), col2, axis=-1).reshape(shape)
         for r in rows_bcast
     ]
     return _select_by(gathered, (idx >> 7).astype(_I32))

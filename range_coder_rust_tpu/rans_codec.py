@@ -86,6 +86,19 @@ def _groups_per_call(L: int, group_lanes: int = None) -> int:
     g = group_lanes if group_lanes else G
     return max(1, min(_BATCH_SYMBOLS // (g * L), _BATCH_GROUPS))
 
+
+#: decode-side invocation bound: decode's working set per symbol is much
+#: leaner than encode's (no halfword-expanded tile blocks), and the
+#: chain-interleaved decode kernel wants >= 4-8 groups per call — 4x
+#: encode's symbol budget keeps multi-group batches at flagship geometry
+#: (2048 lanes x 65536 steps) without exceeding HBM
+_BATCH_SYMBOLS_DEC = 512 << 20
+
+
+def _groups_per_call_dec(L: int, group_lanes: int = None) -> int:
+    g = group_lanes if group_lanes else G
+    return max(1, min(_BATCH_SYMBOLS_DEC // (g * L), _BATCH_GROUPS))
+
 #: row-count bucket for the compacted-stream gather (limits recompiles)
 _ROWS_BUCKET = 4096
 
@@ -131,18 +144,48 @@ def _pad_stream(stream_rows, idx, *, ng, nt, rpad):
     return jnp.take(stream_rows, idx, axis=0).reshape(ng, nt, rpad, 128)
 
 
+def _pick_chains(ng: int, sr: int, rpad: int, tile: int) -> int:
+    """Interleaved decode chains per grid step (kernels/rans_decode.py):
+    the largest divisor of ``ng`` in {8, 4, 2, 1} whose per-chain VMEM
+    blocks (pipelined stream window + output tile + preamble + state
+    scratch, x2 for double buffering) fit the ~16 MB scoped budget with
+    headroom.  More chains hide more of the latency-bound per-step
+    dependency chain (docs/hardware_runs.md round 5)."""
+    per = (2 * rpad * 128 * 4         # stream window blocks (x2)
+           + 2 * tile * sr * 128 * 4  # output tile blocks (x2)
+           + 6 * sr * 128 * 4)        # pre block + state scratch
+    budget = 11 << 20
+    for c in (8, 4, 2):
+        if ng % c == 0 and c * per <= budget:
+            return c
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "ng", "nt", "rpad", "block_len", "a_count", "out_dtype", "interpret"))
-def _decode_fused(stream_rows, idx, starts, pre, cum_vreg, *, ng, nt, rpad,
-                  block_len, a_count, out_dtype, interpret):
-    """One dispatch for the whole device decode chain: pad gather ->
-    tiled kernel -> narrow-dtype flatten (each tunnel dispatch costs
-    tens of ms of latency here — fusing them matters)."""
+    "ng", "nt", "rpad", "block_len", "a_count", "out_dtype", "interpret",
+    "chains"))
+def _decode_fused_jit(stream_rows, idx, starts, pre, cum_vreg, *, ng, nt,
+                      rpad, block_len, a_count, out_dtype, interpret,
+                      chains):
     padded = jnp.take(stream_rows, idx, axis=0).reshape(ng, nt, rpad, 128)
     sym = rans_decode_tiled(
         padded, starts, pre, cum_vreg, block_len=block_len,
-        a_count=a_count, interpret=interpret)
+        a_count=a_count, interpret=interpret, chains=chains)
     return sym.reshape(-1).astype(out_dtype)
+
+
+def _decode_fused(stream_rows, idx, starts, pre, cum_vreg, *, ng, nt, rpad,
+                  block_len, a_count, out_dtype, interpret, chains=None):
+    """One dispatch for the whole device decode chain: pad gather ->
+    tiled kernel -> narrow-dtype flatten (each tunnel dispatch costs
+    tens of ms of latency here — fusing them matters).  ``chains=None``
+    auto-picks the chain-interleave factor (_pick_chains)."""
+    if chains is None:
+        chains = _pick_chains(ng, pre.shape[1] // 2, rpad, block_len // nt)
+    return _decode_fused_jit(
+        stream_rows, idx, starts, pre, cum_vreg, ng=ng, nt=nt, rpad=rpad,
+        block_len=block_len, a_count=a_count, out_dtype=out_dtype,
+        interpret=interpret, chains=chains)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
@@ -507,7 +550,7 @@ def decode_groups(
     else:
         cum_vreg = jnp.asarray(prep_cum_vreg(
             np.concatenate([[0], np.cumsum(table_c)]).astype(np.uint32)))
-    gpc = _groups_per_call(block_len, g)
+    gpc = _groups_per_call_dec(block_len, g)
     if NG <= gpc:
         return _decode_finish(
             _decode_batch(payloads, cum_vreg, a_count, block_len, g))
