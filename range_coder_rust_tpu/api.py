@@ -101,10 +101,15 @@ class CodecConfig:
         if self.group_lanes is not None:
             if self.profile != "rans16":
                 raise ConfigError("group_lanes applies to rans16 only")
-            if self.group_lanes < 128 or self.group_lanes % 128:
+            g = self.group_lanes
+            # power of two required: the kernel vreg primitives assume
+            # pow2 row counts and the container stores the width as log2
+            # (format.pack) — a bare multiple of 128 (e.g. 384) passed
+            # validation then crashed mid-trace (advisor r4)
+            if not (128 <= g <= 65536 and g & (g - 1) == 0):
                 raise ConfigError(
-                    f"group_lanes {self.group_lanes} must be a multiple "
-                    "of 128")
+                    f"group_lanes {g} must be a power of two in "
+                    "[128, 65536]")
 
 
 def _as_symbols(data, alphabet: Optional[int]) -> tuple[np.ndarray, int]:
@@ -371,11 +376,15 @@ def _decode_range_rans16(cont, start: int, count: int, b0: int, b1: int
     O(sync_tiles * tile * group_lanes) symbols instead of the whole
     group's ``group_lanes * block_len`` (64-128 MB at flagship geometry)."""
     from . import rans_codec
+    from .kernels.vreg import prep_cum_vreg
 
     g = cont.group_lanes
     L = cont.block_len
     span = L * g
     out = np.empty(count, np.int32)
+    shared_vreg = None if cont.per_block_tables else jnp.asarray(
+        prep_cum_vreg(np.concatenate(
+            [[0], np.cumsum(cont.tables_c)]).astype(np.uint32)))
     for bidx in range(b0, b1):
         gbase = bidx * span
         a = max(start, gbase)
@@ -384,12 +393,17 @@ def _decode_range_rans16(cont, start: int, count: int, b0: int, b1: int
             continue
         tc = np.asarray(cont.tables_c[bidx] if cont.per_block_tables
                         else cont.tables_c)
+        cum_vreg = shared_vreg if shared_vreg is not None else jnp.asarray(
+            prep_cum_vreg(np.concatenate(
+                [[0], np.cumsum(tc)]).astype(np.uint32)))
         la, sa = divmod(a - gbase, L)
         lb, sbm = divmod(b - gbase - 1, L)
-        from . import rans_codec
-
-        _, _, _, sync_t, _ = rans_codec._parse_payload(
+        # parse ONCE per group; the per-interval decode_tile_range calls
+        # below reuse the parse and the table prep (advisor r4: this
+        # previously re-parsed the same multi-MB payload up to 3x)
+        parsed = rans_codec._parse_payload(
             cont.payloads[bidx], L, g, full=True)
+        sync_t = parsed[3]
         if lb > la + 1:
             intervals = [(0, L, None)]           # middle lanes need it all
         elif lb == la:
@@ -406,7 +420,8 @@ def _decode_range_rans16(cont, start: int, count: int, b0: int, b1: int
         steps = (ps - gbase) % L
         for (s0, s1, only_lane) in intervals:
             rows, step0 = rans_codec.decode_tile_range(
-                cont.payloads[bidx], tc, L, s0, s1, g)
+                cont.payloads[bidx], tc, L, s0, s1, g,
+                parsed=parsed, cum_vreg=cum_vreg)
             sel = (lanes == only_lane if only_lane is not None
                    else np.ones(ps.size, bool))
             out[ps[sel] - start] = rows[lanes[sel], steps[sel] - step0]

@@ -198,6 +198,8 @@ def encode_multihost_rans16(
     *,
     block_len: int,
     n_groups: int,
+    group_lanes: int = None,
+    sync_tiles: int = 0,
 ) -> list:
     """Encode this process's rans16 groups; ordered-gather ALL payloads.
 
@@ -213,7 +215,8 @@ def encode_multihost_rans16(
     """
     from .. import rans_codec
 
-    local_payloads = rans_codec.encode_groups(local_rows, table, block_len)
+    local_payloads = rans_codec.encode_groups(
+        local_rows, table, block_len, sync_tiles, group_lanes)
     lens_local = np.array([len(p) for p in local_payloads], np.int32)
     lengths_all = np.asarray(multihost_utils.process_allgather(
         lens_local, tiled=True)).astype(np.int32)
@@ -222,6 +225,7 @@ def encode_multihost_rans16(
 
 def decode_multihost_rans16(
     payloads, table_c: np.ndarray, *, block_len: int,
+    group_lanes: int = None,
 ) -> np.ndarray:
     """Decode this process's group range of a global payload list (the
     mirror of :func:`encode_multihost_rans16`; every process holds the
@@ -238,7 +242,8 @@ def decode_multihost_rans16(
     tc = np.asarray(table_c)
     if tc.ndim == 2:
         tc = tc[lo:hi]
-    return rans_codec.decode_groups(payloads[lo:hi], tc, block_len)
+    return rans_codec.decode_groups(payloads[lo:hi], tc, block_len,
+                                    group_lanes)
 
 
 def assemble_container(

@@ -97,7 +97,11 @@ _BATCH_SYMBOLS_DEC = 512 << 20
 
 def _groups_per_call_dec(L: int, group_lanes: int = None) -> int:
     g = group_lanes if group_lanes else G
-    return max(1, min(_BATCH_SYMBOLS_DEC // (g * L), _BATCH_GROUPS))
+    raw = max(1, min(_BATCH_SYMBOLS_DEC // (g * L), _BATCH_GROUPS))
+    # floor to a power of two so the chain-interleave factor (2/4/8)
+    # divides every full batch — a batch of e.g. 3 groups would force
+    # chains=1 and forfeit the latency hiding
+    return 1 << (raw.bit_length() - 1)
 
 #: row-count bucket for the compacted-stream gather (limits recompiles)
 _ROWS_BUCKET = 4096
@@ -660,6 +664,7 @@ def _decode_batch(
 def decode_tile_range(
     payload, table_c: np.ndarray, block_len: int,
     step_lo: int, step_hi: int, group_lanes: int = None,
+    *, parsed=None, cum_vreg=None,
 ):
     """Decode a STEP range of one group payload without decoding the rest.
 
@@ -670,10 +675,17 @@ def decode_tile_range(
     ``rows[:, s - step0]`` is every lane's symbol at step ``s`` —
     tile-level random access (SURVEY §5 checkpoint/resume at the shipping
     geometry; VERDICT r3 item 6).
+
+    ``parsed`` / ``cum_vreg``: optional pre-parsed payload (the
+    ``_parse_payload(..., full=True)`` tuple) and prepped table vreg —
+    many-slice readers (api._decode_range_rans16) pass them to avoid
+    re-parsing a multi-MB payload and re-prepping the table per slice
+    (advisor r4).
     """
     g = group_lanes if group_lanes else G
-    sizes, pre6, region, sync_t, sync6 = _parse_payload(
-        payload, block_len, g, full=True)
+    if parsed is None:
+        parsed = _parse_payload(payload, block_len, g, full=True)
+    sizes, pre6, region, sync_t, sync6 = parsed
     NT = sizes.shape[0]
     tile = block_len // NT
     if not 0 <= step_lo < step_hi <= block_len:
@@ -701,8 +713,9 @@ def decode_tile_range(
     a_count = int(table_c.shape[-1])
     out_dtype = (jnp.uint8 if a_count <= 256
                  else jnp.uint16 if a_count <= 65536 else jnp.int32)
-    cum_vreg = jnp.asarray(prep_cum_vreg(
-        np.concatenate([[0], np.cumsum(table_c)]).astype(np.uint32)))
+    if cum_vreg is None:
+        cum_vreg = jnp.asarray(prep_cum_vreg(
+            np.concatenate([[0], np.cumsum(table_c)]).astype(np.uint32)))
     flat = _fetch(_decode_fused(
         jnp.asarray(rows_np), jnp.asarray(ridx), jnp.asarray(starts),
         pre, cum_vreg,
@@ -766,15 +779,20 @@ def encode(
             "symbols (one cum-table vreg holds A+1 entries); use the "
             "planar profile — api.encode falls back automatically")
     n = int(symbols.size)
-    if n >= 1 << 31:
-        # the device histogram accumulates in int32 (advisor r3); one
-        # encode call is capped well above the supported batch sizes
-        raise ConfigError(
-            f"{n} symbols in one encode call exceeds 2^31; split the input")
     g = group_lanes if group_lanes else G
-    if g < 128 or g % 128:
-        raise ConfigError(f"group_lanes {g} must be a multiple of 128")
+    if not (128 <= g <= 65536 and g & (g - 1) == 0):
+        raise ConfigError(
+            f"group_lanes {g} must be a power of two in [128, 65536]")
     _tile_geometry(block_len, g)  # validate requested geometry
+    if n >= 1 << 31:
+        # beyond the single-call bound (the device histogram accumulates
+        # in int32) the input is encoded in SLABS of whole groups appended
+        # into ONE container — the unbounded-input analogue of the
+        # reference's streaming Encoder (src/encoder.rs:24-46)
+        return _encode_chunked(
+            symbols, alphabet=alphabet, table=table, block_len=block_len,
+            with_checksums=with_checksums,
+            per_group_tables=per_group_tables, sync_tiles=sync_tiles, g=g)
     L = _shrink_lane_len(n, block_len, g)
     ng = max(1, math.ceil(n / (g * L)))
 
@@ -818,6 +836,83 @@ def encode(
         n_symbols=n,
         payloads=payloads,
         tables_c=tables_c,
+        per_block_tables=per_group_tables,
+        with_checksums=with_checksums,
+        profile="rans16",
+        group_lanes=g,
+    )
+
+
+#: symbols per slab in the chunked (>= 2^31 symbols) encode path —
+#: rounded down to whole groups; each slab runs the standard batched
+#: device pipeline and appends its groups to the one container
+_SLAB_SYMBOLS = 1 << 30
+
+
+def _encode_chunked(
+    symbols: np.ndarray, *, alphabet: int, table, block_len: int,
+    with_checksums: bool, per_group_tables: bool, sync_tiles: int, g: int
+) -> bytes:
+    """Multi-slab encode for inputs past the single-call 2^31-symbol cap
+    (BASELINE config 4, 10 GB): whole-group slabs stream through
+    :func:`encode_groups`, payloads append into one container.
+
+    The shared table comes from a HOST histogram pass (u8 ``np.bincount``
+    runs ~0.3 s per 64 MB — far cheaper than uploading the corpus twice
+    over the tunnel for the device histogram); per-group tables likewise
+    build host-side per slab.  The container is identical in structure to
+    the single-call output — decode needs no special handling.
+    """
+    from .models.table import build_table_pow2
+
+    n = int(symbols.size)
+    L = block_len
+    span = g * L
+    narrow = (symbols if symbols.dtype == np.uint8
+              else symbols.astype(np.uint8) if alphabet <= 256
+              else symbols.astype(np.uint16) if alphabet <= 65536
+              else symbols)
+    slab = max(1, _SLAB_SYMBOLS // span) * span
+
+    if not per_group_tables and table is None:
+        counts = np.zeros(alphabet, np.int64)
+        step = 1 << 28
+        for i in range(0, n, step):
+            counts += np.bincount(narrow[i : i + step],
+                                  minlength=alphabet)[:alphabet]
+        table = build_table_pow2(counts.astype(np.uint64), 16)
+    pad_symbol = (int(np.argmax(table.c)) if not per_group_tables
+                  else int(narrow[-1]))
+
+    payloads: List[bytes] = []
+    tables_per_group: List = []
+    for s0 in range(0, n, slab):
+        part = narrow[s0 : min(s0 + slab, n)]
+        ng = -(-part.size // span)
+        if part.size < ng * span:  # last slab: pad to whole groups
+            full = np.full(ng * span, pad_symbol, narrow.dtype)
+            full[: part.size] = part
+            part = full
+        rows = part.reshape(ng * g, L)
+        if per_group_tables:
+            slab_tables = []
+            for gi in range(ng):
+                cnt = np.bincount(rows[gi * g : (gi + 1) * g].reshape(-1),
+                                  minlength=alphabet)[:alphabet]
+                slab_tables.append(build_table_pow2(
+                    cnt.astype(np.uint64), 16))
+            payloads += encode_groups(rows, slab_tables, L, sync_tiles, g)
+            tables_per_group += [t.c for t in slab_tables]
+        else:
+            payloads += encode_groups(rows, table, L, sync_tiles, g)
+    return fmt.pack(
+        k=16,
+        alphabet=alphabet,
+        block_len=L,
+        n_symbols=n,
+        payloads=payloads,
+        tables_c=(np.stack(tables_per_group) if per_group_tables
+                  else table.c),
         per_block_tables=per_group_tables,
         with_checksums=with_checksums,
         profile="rans16",
