@@ -25,10 +25,18 @@ Profiles:
 Corpus: deterministic Zipf-ish byte stream.  Round-trip equality and
 compressed-size-vs-scalar are asserted, not just timed.
 
-Env knobs: RC_BENCH_MB (corpus MB, default 64), RC_BENCH_REPS (default 3),
-RC_BENCH_L (lane/block length, default 65536 rans16 / 512 planar),
-RC_BENCH_PROFILE (rans16|planar), RC_BENCH_E2E_MB (end-to-end api slice,
-default = corpus size).
+The e2e section instruments the transfers INSIDE the run
+(rans_codec.start_transfer_log): per-direction sustained tunnel rates and
+``e2e_vs_floor`` = (sum of per-direction tunnel-active time) / wall — a
+MEASURED overlap statement, not a ratio against an isolated best-of-3
+probe (VERDICT r4 item 2; the probe rates are still reported for
+reference as *_probe fields).
+
+Env knobs: RC_BENCH_MB (corpus MB, default 256 — large enough that the
+group count admits the decode chain interleave at the size-winning lane
+length), RC_BENCH_REPS (default 3), RC_BENCH_L (lane/block length,
+default 32768 rans16 / 512 planar), RC_BENCH_PROFILE (rans16|planar),
+RC_BENCH_E2E_MB (end-to-end api slice, default = corpus size).
 """
 
 from __future__ import annotations
@@ -73,7 +81,7 @@ def timed_best(fn, block, reps, groups=3):
 
 def main() -> None:
     profile = os.environ.get("RC_BENCH_PROFILE", "rans16")
-    mb = int(os.environ.get("RC_BENCH_MB", "64"))
+    mb = int(os.environ.get("RC_BENCH_MB", "256"))
     reps = int(os.environ.get("RC_BENCH_REPS", "3"))
     k = int(os.environ.get("RC_BENCH_K", "16"))
     e2e_mb = int(os.environ.get("RC_BENCH_E2E_MB", str(mb)))
@@ -95,7 +103,10 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform} profile={profile}")
 
-    default_l = "65536" if profile == "rans16" else "512"
+    # 32768: holds the size win vs the scalar stream (the marginal lane
+    # costs ~5 B — docs/hardware_runs.md r5) while giving the decode
+    # chain interleave NG = corpus/(G*L) groups to hide latency with
+    default_l = "32768" if profile == "rans16" else "512"
     L = int(os.environ.get("RC_BENCH_L", default_l))
     n = mb << 20
     data = make_corpus(n)
@@ -132,40 +143,73 @@ def main() -> None:
         f"stream {ref_bits:.4f}")
 
     # --- end-to-end api.encode/decode (bytes in, bytes out) ----------------
+    # instrumented: every bulk tunnel transfer inside the run is
+    # timestamped (rans_codec transfer log), so overlap is MEASURED
+    from range_coder_rust_tpu import rans_codec
+
     e2e_n = min(n, e2e_mb << 20)
     cfg = api.CodecConfig(k=16, block_len=L, profile=profile) \
         if profile == "rans16" else api.CodecConfig(k=k, block_len=L)
     e2e_data = data[:e2e_n].astype(np.uint8).tobytes()
-    blob = api.encode(e2e_data, alphabet=256, config=cfg)
-    e2e_enc_t = e2e_dec_t = None
-    for _ in range(2):  # best-of-2: tunnel throughput is erratic
+    blob = api.encode(e2e_data, alphabet=256, config=cfg)  # compile/warm
+    runs = []
+    for _ in range(2):  # tunnel throughput is erratic; report mean + best
+        rans_codec.start_transfer_log()
         t0 = time.time()
         blob = api.encode(e2e_data, alphabet=256, config=cfg)
-        dt = time.time() - t0
-        e2e_enc_t = dt if e2e_enc_t is None else min(e2e_enc_t, dt)
+        enc_wall = time.time() - t0
+        enc_log = rans_codec.stop_transfer_log()
+        rans_codec.start_transfer_log()
         t0 = time.time()
         rt = api.decode(blob)
-        dt = time.time() - t0
-        e2e_dec_t = dt if e2e_dec_t is None else min(e2e_dec_t, dt)
+        dec_wall = time.time() - t0
+        dec_log = rans_codec.stop_transfer_log()
+        runs.append((enc_wall, dec_wall, enc_log, dec_log))
     assert np.array_equal(rt, data[:e2e_n]), "api round trip failed"
+    best = min(runs, key=lambda r: r[0] + r[1])
+    e2e_enc_t, e2e_dec_t, enc_log, dec_log = best
+    e2e_enc_mean = sum(r[0] for r in runs) / len(runs)
+    e2e_dec_mean = sum(r[1] for r in runs) / len(runs)
     e2e_gbps = e2e_n / 1e9 / (e2e_enc_t + e2e_dec_t)
+    e2e_gbps_mean = e2e_n / 1e9 / (e2e_enc_mean + e2e_dec_mean)
     log(f"end-to-end api ({e2e_n >> 20} MB, incl. tunnel transfers + host "
         f"assembly): encode {e2e_n / 1e9 / e2e_enc_t:.3f} GB/s, decode "
-        f"{e2e_n / 1e9 / e2e_dec_t:.3f} GB/s, combined {e2e_gbps:.3f} GB/s")
+        f"{e2e_n / 1e9 / e2e_dec_t:.3f} GB/s, combined {e2e_gbps:.3f} GB/s "
+        f"(mean {e2e_gbps_mean:.3f})")
 
-    # --- measured tunnel floor: the transfers e2e cannot avoid ------------
-    # encode moves n bytes up + compressed down; decode the reverse.  The
-    # floor makes "e2e is at the tunnel limit" a measured claim, not lore.
-    from range_coder_rust_tpu import rans_codec
+    # --- in-run tunnel floor: measured inside the timed runs above --------
+    # active = union of the logged transfer intervals per direction; the
+    # floor is the wall the tunnel alone would need with zero overlap
+    # between directions, so e2e_vs_floor = tunnel_active / wall is a
+    # measured overlap statement (1.0 = the run IS the transfers; > 1.0
+    # is possible when the two directions overlap each other)
+    stats = _xfer_stats(enc_log + dec_log)
+    wall = e2e_enc_t + e2e_dec_t
+    floor_s = stats["h2d_active_s"] + stats["d2h_active_s"]
+    e2e_vs_floor = floor_s / wall if wall else 0.0
+    log(f"in-run tunnel: H2D {stats['h2d_gbps']:.3f} GB/s sustained "
+        f"({stats['h2d_mb']:.0f} MB, {stats['h2d_active_s']:.1f}s active), "
+        f"D2H {stats['d2h_gbps']:.3f} GB/s "
+        f"({stats['d2h_mb']:.0f} MB, {stats['d2h_active_s']:.1f}s active) "
+        f"-> e2e at {e2e_vs_floor:.2f}x of in-run floor")
+
+    # isolated best-of-3 probe rates, for reference only (the tunnel
+    # swings 3-10x between probe and run — hence the in-run floor above)
     h2d_gbps, d2h_gbps = _tunnel_rates(jax, jnp, dev, rans_codec,
                                        min(e2e_n, 64 << 20))
     comp_n = len(blob)
-    floor_s = ((e2e_n + comp_n) / 1e9 / h2d_gbps
-               + (e2e_n + comp_n) / 1e9 / d2h_gbps)
-    floor_gbps = e2e_n / 1e9 / floor_s
-    log(f"tunnel: H2D {h2d_gbps:.3f} GB/s, D2H {d2h_gbps:.3f} GB/s -> "
-        f"e2e floor {floor_gbps:.4f} GB/s (e2e at "
-        f"{e2e_gbps / floor_gbps:.2f}x of floor)")
+    probe_floor_s = ((e2e_n + comp_n) / 1e9 / h2d_gbps
+                     + (e2e_n + comp_n) / 1e9 / d2h_gbps)
+    probe_floor_gbps = e2e_n / 1e9 / probe_floor_s
+    log(f"probe tunnel: H2D {h2d_gbps:.3f} GB/s, D2H {d2h_gbps:.3f} GB/s "
+        f"-> probe floor {probe_floor_gbps:.4f} GB/s")
+
+    # calibration: cycles per sequential kernel step vs the v5e clock —
+    # the per-symbol cost in dependent-latency terms (docs/hardware_runs.md
+    # roofline section explains the bounds these sit against)
+    clk = 0.94e9  # TPU v5e core clock
+    enc_cps = enc_t * clk / max(compiles.get("enc_steps", 1), 1)
+    dec_cps = dec_t * clk / max(compiles.get("dec_steps", 1), 1)
 
     print(json.dumps({
         "metric": "encode+decode GB/s/chip",
@@ -175,7 +219,10 @@ def main() -> None:
         "profile": profile,
         "encode_gbps": round(n / 1e9 / enc_t, 4),
         "decode_gbps": round(n / 1e9 / dec_t, 4),
+        "decode_vs_encode": round(enc_t / dec_t, 3),
+        "decode_chains": compiles.get("chains", 1),
         "e2e_gbps": round(e2e_gbps, 4),
+        "e2e_gbps_mean": round(e2e_gbps_mean, 4),
         "e2e_encode_gbps": round(e2e_n / 1e9 / e2e_enc_t, 4),
         "e2e_decode_gbps": round(e2e_n / 1e9 / e2e_dec_t, 4),
         "e2e_mb": e2e_n >> 20,
@@ -186,12 +233,45 @@ def main() -> None:
         "scalar_bits_per_symbol": round(ref_bits, 4),
         "size_vs_scalar": round(cont_bits / ref_bits, 4),
         "baseline_gbps_scalar_cpp": round(base_gbps, 4),
-        "tunnel_h2d_gbps": round(h2d_gbps, 4),
-        "tunnel_d2h_gbps": round(d2h_gbps, 4),
-        "tunnel_floor_gbps": round(floor_gbps, 4),
-        "e2e_vs_floor": round(e2e_gbps / floor_gbps, 3),
+        "inrun_h2d_gbps": round(stats["h2d_gbps"], 4),
+        "inrun_d2h_gbps": round(stats["d2h_gbps"], 4),
+        "inrun_tunnel_active_s": round(floor_s, 2),
+        "e2e_wall_s": round(wall, 2),
+        "e2e_vs_floor": round(e2e_vs_floor, 3),
+        "tunnel_h2d_gbps_probe": round(h2d_gbps, 4),
+        "tunnel_d2h_gbps_probe": round(d2h_gbps, 4),
+        "tunnel_floor_gbps_probe": round(probe_floor_gbps, 4),
+        "e2e_vs_floor_probe": round(e2e_gbps / probe_floor_gbps, 3),
+        "encode_cycles_per_step": round(enc_cps, 1),
+        "decode_cycles_per_step": round(dec_cps, 1),
+        "encode_symbols_per_cycle": round(n / (enc_t * clk), 4),
+        "decode_symbols_per_cycle": round(n / (dec_t * clk), 4),
         "device": str(dev),
     }))
+
+
+def _xfer_stats(records):
+    """Per-direction sustained rates + active (union) seconds from the
+    in-run transfer log [(dir, t0, t1, nbytes), ...]."""
+    out = {}
+    for d in ("h2d", "d2h"):
+        iv = sorted((t0, t1) for dd, t0, t1, _ in records if dd == d)
+        nbytes = sum(nb for dd, _, _, nb in records if dd == d)
+        active = 0.0
+        cur_a = cur_b = None
+        for a, b in iv:
+            if cur_b is None or a > cur_b:
+                if cur_b is not None:
+                    active += cur_b - cur_a
+                cur_a, cur_b = a, b
+            else:
+                cur_b = max(cur_b, b)
+        if cur_b is not None:
+            active += cur_b - cur_a
+        out[f"{d}_active_s"] = active
+        out[f"{d}_mb"] = nbytes / 1e6
+        out[f"{d}_gbps"] = nbytes / 1e9 / active if active else 0.0
+    return out
 
 
 def _tunnel_rates(jax, jnp, dev, rans_codec, nbytes):
@@ -244,9 +324,10 @@ def _cold_compile_s(jax, jnp, rans_codec, L, NT):
         st = jax.ShapeDtypeStruct((ng, NT), jnp.int32)
         pre = jax.ShapeDtypeStruct((ng, 2 * rans_codec.G // 128, 128), jnp.uint32)
         t0 = time.time()
-        rans_codec._decode_fused.lower(
+        rans_codec._decode_fused_jit.lower(
             sr, didx, st, pre, cum, ng=ng, nt=NT, rpad=rpad, block_len=L,
-            a_count=256, out_dtype=jnp.uint8, interpret=False).compile()
+            a_count=256, out_dtype=jnp.uint8, interpret=False,
+            chains=1).compile()
         dec_s = time.time() - t0
         return {"encode_s": round(enc_s, 1), "pack_s": round(pack_s, 1),
                 "decode_s": round(dec_s, 1)}
@@ -362,9 +443,10 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
 
     # device-resident decode: prepare uploads once, time the device stages
     parsed = [rans_codec._parse_payload(p, L) for p in cont.payloads]
+    gpc_dec = rans_codec._groups_per_call_dec(L)
     dec_args = []
-    for start in range(0, ng, gpc):
-        stop = min(start + gpc, ng)
+    for start in range(0, ng, gpc_dec):
+        stop = min(start + gpc_dec, ng)
         nb = stop - start
         part = parsed[start:stop]
         sizes = np.stack([s for s, _, _ in part])
@@ -391,6 +473,13 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
     jax.block_until_ready([dec_step(a) for a in dec_args])  # compile
     dec_t = timed_best(lambda: [dec_step(a) for a in dec_args], block, reps)
 
+    # chain-interleave factors actually used per decode batch (for the
+    # JSON + the cycles-per-step calibration)
+    chain_list = [rans_codec._pick_chains(
+        a[4], rans_codec.G // 128, a[5], L // NT) for a in dec_args]
+    dec_steps = sum(a[4] * L // c for a, c in zip(dec_args, chain_list))
+    log(f"decode chains per batch: {chain_list}")
+
     # measured LAST: flipping the compilation-cache dir invalidates jit
     # executable caches, which would force recompiles into timed loops
     cold = _cold_compile_s(jax, jnp, rans_codec, L, NT)
@@ -400,6 +489,9 @@ def bench_rans16(jax, jnp, dev, data, t, L, reps):
         "encode_first_s": round(enc_compile, 1),
         "decode_first_s": round(dec_compile, 1),
         "cold_compile": cold,
+        "chains": max(chain_list),
+        "enc_steps": ng * L,
+        "dec_steps": dec_steps,
     }
 
 

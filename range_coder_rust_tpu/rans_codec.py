@@ -277,6 +277,31 @@ def _pad_rows_device(data, pad_sym, *, rows, length):
     return full.reshape(rows, length)
 
 
+#: in-run transfer log: when a list, _put/_fetch append
+#: (direction, t_start, t_end, nbytes) for every bulk transfer — the
+#: bench uses it to measure SUSTAINED tunnel rates + overlap inside the
+#: e2e run itself instead of inferring a floor from an isolated probe
+#: (VERDICT r4 item 2).  Enable with start_transfer_log().
+_XFER_LOG = None
+
+
+def start_transfer_log() -> None:
+    global _XFER_LOG
+    _XFER_LOG = []
+
+
+def stop_transfer_log():
+    """Return the accumulated (dir, t0, t1, nbytes) records and disable."""
+    global _XFER_LOG
+    log, _XFER_LOG = _XFER_LOG, None
+    return log or []
+
+
+def _log_xfer(direction: str, t0: float, t1: float, nbytes: int) -> None:
+    if _XFER_LOG is not None:
+        _XFER_LOG.append((direction, t0, t1, nbytes))
+
+
 def _put(host_array):
     """Host -> device, chunked over threads for large NumPy arrays: the
     axon tunnel's single-stream H2D measured ~10-50 MB/s; 4-8 parallel
@@ -284,8 +309,10 @@ def _put(host_array):
     Device arrays pass through (device-side slices, no transfer)."""
     if not isinstance(host_array, np.ndarray) or host_array.nbytes < (16 << 20):
         return jnp.asarray(host_array)
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
+    t0 = _time.time()
     shape = host_array.shape
     flat = host_array.reshape(-1)
     nthreads = 8
@@ -293,25 +320,43 @@ def _put(host_array):
     parts = [flat[i * chunk : (i + 1) * chunk] for i in range(nthreads)]
     with ThreadPoolExecutor(nthreads) as ex:
         ds = list(ex.map(jnp.asarray, parts))
-    return jnp.concatenate(ds).reshape(shape)
+    out = jnp.concatenate(ds).reshape(shape)
+    if _XFER_LOG is not None:
+        # force the upload to actually land before closing the interval:
+        # jnp.asarray returns before the tunnel transfer completes, so an
+        # unforced timestamp reads fiction (measured "1.5 GB/s" H2D on a
+        # 30-90 MB/s tunnel).  A 1-element fetch of the concatenated
+        # buffer depends on every chunk; a fetch cannot lie.  Only done
+        # under instrumentation — it adds a sync point the pipelined
+        # product path doesn't want.
+        np.asarray(out.ravel()[0:1])
+        _log_xfer("h2d", t0, _time.time(), host_array.nbytes)
+    return out
 
 
 def _fetch(dev_array) -> np.ndarray:
     """Device -> host copy, chunked over threads for large arrays: the
     axon tunnel's single-stream D2H runs ~25 MB/s but parallel streams
     reach ~1.6x that (measured); below 16 MB the thread overhead wins."""
+    import time as _time
+
     nbytes = dev_array.size * dev_array.dtype.itemsize
     if nbytes < (16 << 20) or dev_array.ndim != 1:
+        # small fetches (sizes, preambles) block on the producing kernel
+        # too — logging them would poison the sustained-rate estimate
         return np.asarray(dev_array)
     from concurrent.futures import ThreadPoolExecutor
 
+    t0 = _time.time()
     nthreads = 8
     chunk = -(-dev_array.size // nthreads)
     parts = [dev_array[i * chunk : (i + 1) * chunk]
              for i in range(nthreads)]
     with ThreadPoolExecutor(nthreads) as ex:
         host = list(ex.map(np.asarray, parts))
-    return np.concatenate(host)
+    out = np.concatenate(host)
+    _log_xfer("d2h", t0, _time.time(), nbytes)
+    return out
 
 
 def _rows_e(tile: int, group_lanes: int = None) -> int:

@@ -212,6 +212,10 @@ def main():
             block_len=L, a_count=256, out_dtype=jnp.uint8,
             interpret=False)
 
+    dec_chains = [rans_codec._pick_chains(a[5], G // 128, a[6], L)
+                  for a in dec_args]
+    log(f"decode chain interleave per batch: {dec_chains}")
+
     jax.block_until_ready([dec_step(a, a[3]) for a in dec_args])  # warm
     pperturb = jax.jit(lambda p, z: p.at[0, 0, 0].set(
         p[0, 0, 0] + (z >> 31).astype(jnp.uint32)))
@@ -263,13 +267,15 @@ def main():
         "corpus_mb": mb,
         "block_len": L,
         "group_lanes": G,
+        "decode_chains": max(dec_chains),
         "planar_adaptive": "conformance-only (demoted r4); see adaptive.py",
         "device": str(dev),
     }
     log(f"adaptive rans16 combined {gbps:.3f} GB/s, {bits:.4f} bits/sym "
         f"(shared-table bound {shared_bits:.4f})")
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "ADAPTIVE_r04.json")
+        os.path.abspath(__file__))),
+        os.environ.get("RC_ADAPT_OUT", "ADAPTIVE_r05.json"))
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

@@ -115,6 +115,91 @@ def bench_control(n_dev: int, blocks_per_dev: int, L: int, reps: int):
     return best
 
 
+def decode_stage_table(blocks_total: int, L: int, k: int, reps: int):
+    """Per-stage 8-dev-sharded vs 1-dev-unsharded decode timings (VERDICT
+    r4 item 7: the 1.94x decode overhead was hand-waved as 'partition
+    bookkeeping + oversubscription' with no stage numbers).  Stages:
+
+      to_words   — (B, C) u8 -> (B, C/4) u32 big-endian repack (layout)
+      scan       — the lock-step symbol scan on pre-packed words (kernel)
+      transpose  — (L, B) scan output -> (B, L) result layout
+
+    Each stage is timed under the SAME sharding in both configs, so the
+    table attributes the sharded/unsharded ratio stage by stage.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from range_coder_rust_tpu.blocks import (
+        bytes_to_words_be, decode_find_rfreq, encode_blocks, init_state,
+        lookup, param_update_pow2)
+
+    rng = np.random.default_rng(42)
+    ranks = np.arange(1, 257)
+    p = 1.0 / ranks**1.2
+    p /= p.sum()
+    data = rng.choice(256, size=(blocks_total, L), p=p).astype(np.int32)
+    t = table_from_data_pow2(data, 256, k)
+    cap = -(-(3 * L + 8) // 4) * 4
+    c, cum = jnp.asarray(t.c), jnp.asarray(t.cum)
+    code, _ = encode_blocks(jnp.asarray(data), c, cum, k=k, capacity=cap)
+    code = jax.block_until_ready(code)
+    B, C = code.shape
+
+    def scan_only(code32, c, cum):
+        def step(carry, _):
+            st, cursor = carry
+            whi, _ = lookup.window_extract(code32, cursor - 8)
+            rfreq = decode_find_rfreq(st, whi, k)
+            idx, cc, cu = lookup.sweep_find(c, cum, rfreq)
+            st, _, n = param_update_pow2(st, cc, cu, k)
+            return (st, cursor + n), idx
+
+        cursor0 = jnp.full((code32.shape[0],), 8, jnp.int32)
+        (_, _), syms = jax.lax.scan(
+            step, (init_state((code32.shape[0],)), cursor0), None,
+            length=L)
+        return syms  # (L, B) — transpose timed separately
+
+    table = {}
+    for n_dev in (1, 8):
+        mesh = default_mesh(jax.devices()[:n_dev])
+        shard = NamedSharding(mesh, P("blocks"))
+        shard_t = NamedSharding(mesh, P(None, "blocks"))
+        repl = NamedSharding(mesh, P())
+        code_d = jax.device_put(code, shard)
+        f_words = jax.jit(bytes_to_words_be, in_shardings=shard,
+                          out_shardings=shard)
+        code32 = jax.block_until_ready(f_words(code_d))
+        f_scan = jax.jit(scan_only, in_shardings=(shard, repl, repl),
+                         out_shardings=shard_t)
+        syms = jax.block_until_ready(
+            f_scan(code32, jax.device_put(c, repl),
+                   jax.device_put(cum, repl)))
+        f_tr = jax.jit(lambda s: s.T, in_shardings=shard_t,
+                       out_shardings=shard)
+        jax.block_until_ready(f_tr(syms))
+
+        stages = {}
+        for name, fn, arg in (
+                ("to_words", f_words, code_d),
+                ("scan", lambda x: f_scan(x, c, cum), code32),
+                ("transpose", f_tr, syms)):
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                jax.block_until_ready(fn(arg))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            stages[name] = round(best, 3)
+        table[f"{n_dev}dev"] = stages
+        log(f"decode stages {n_dev} dev: {stages}")
+    ratios = {s: round(table["8dev"][s] / table["1dev"][s], 3)
+              for s in table["1dev"]}
+    table["ratio_8v1"] = ratios
+    log(f"decode stage ratios 8dev/1dev: {ratios}")
+    return table
+
+
 def main():
     L = int(os.environ.get("RC_SCALE_L", "4096"))
     k = 16
@@ -150,6 +235,11 @@ def main():
     c8 = bench_control(8, bpd, L, reps)
     control = c8 / c1
     log(f"control (trivial sharded op, same geometry): {control:.3f}x")
+
+    # per-stage decode attribution (smaller corpus: the scan stage is
+    # timed per stage, and 8x64 MB of scan at CPU speed would take hours)
+    stage_blocks = max(8, ((8 << 20) // L) // 8 * 8)
+    stage_table = decode_stage_table(stage_blocks, L, k, reps)
     out = {
         "metric": "weak-scaling (virtual 8-device CPU mesh)",
         "mb_per_device": mb_per_dev,
@@ -159,6 +249,7 @@ def main():
         "overhead_encode": round(e8 / e1, 4),
         "overhead_decode": round(d8 / d1, 4),
         "overhead_control_trivial_op": round(control, 4),
+        "decode_stage_table": stage_table,
         "note": ("virtual devices share this host's physical cores, so "
                  "weak-scaling wall time grows ~N/cores by construction; "
                  "the partitioning-cost signal is "
@@ -169,7 +260,8 @@ def main():
         "blocks_per_device": bpd,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_r04.json")
+        os.path.abspath(__file__))),
+        os.environ.get("RC_SCALE_OUT", "SCALING_r05.json"))
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
