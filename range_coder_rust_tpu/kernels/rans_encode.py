@@ -370,7 +370,8 @@ def _rans_encode_kernel(cum_ref, aux_ref, baux_ref, sym_ref, exp_ref,
             if ablate == "nowrite":
                 exp_ref[0, 0, 0:sr, :] = comp[0:sr] ^ comp[tail:]
             else:
-                exp_ref[0, 0, :, :] = comp
+                # block may carry one even-padding row (see rows_e above)
+                exp_ref[0, 0, 0 : tile_steps * sr, :] = comp
 
     def _state_words(half):
         # lane l's state as LE words 2l (lo) / 2l+1 (hi), half rows each
@@ -448,7 +449,11 @@ def rans_encode_tiled(
     if block_len % tile:
         raise ValueError(f"block_len {block_len} % tile {tile} != 0")
     n_tiles = block_len // tile
-    rows_e = tile * sr
+    # pack_and_gather pairs CONSECUTIVE expanded rows into 128-word rows,
+    # so each tile block must span an even row count — at sr == 1 (128-
+    # lane groups) an odd tile length would otherwise pair a tile's last
+    # row with the NEXT tile's first (found by the geometry fuzz sweep)
+    rows_e = tile * sr + ((tile * sr) & 1)
     barrett = enc_aux is not None
     if not barrett:
         enc_aux = jnp.zeros((16, 128), _U32)

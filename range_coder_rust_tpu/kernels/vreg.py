@@ -40,6 +40,10 @@ def _lookup_rows(rows_bcast: List[jax.Array], idx: jax.Array) -> jax.Array:
     shape = col.shape
     col2 = col.reshape(-1, 128)  # Mosaic supports 2-D gathers only
     n = col2.shape[0]
+    pad1 = n == 1  # Mosaic rejects single-row gathers — run 2, keep row 0
+    if pad1:
+        col2 = jnp.concatenate([col2, col2], axis=0)
+        n = 2
 
     def _tab(r):
         # r's 8 sublanes are identical (sublane-broadcast), so any row
@@ -49,10 +53,10 @@ def _lookup_rows(rows_bcast: List[jax.Array], idx: jax.Array) -> jax.Array:
             return jnp.broadcast_to(r, (n // 8, 8, 128)).reshape(-1, 128)
         return jnp.broadcast_to(r[:1], (n, 128))
 
-    gathered = [
-        jnp.take_along_axis(_tab(r), col2, axis=-1).reshape(shape)
-        for r in rows_bcast
-    ]
+    gathered = []
+    for r in rows_bcast:
+        g2 = jnp.take_along_axis(_tab(r), col2, axis=-1)
+        gathered.append((g2[0:1] if pad1 else g2).reshape(shape))
     return _select_by(gathered, (idx >> 7).astype(_I32))
 
 

@@ -360,8 +360,11 @@ def _fetch(dev_array) -> np.ndarray:
 
 
 def _rows_e(tile: int, group_lanes: int = None) -> int:
-    """Expanded rows per tile block: one u32 slot per capacity halfword."""
-    return tile * (group_lanes if group_lanes else G) // 128
+    """Expanded rows per tile block: one u32 slot per capacity halfword,
+    padded to an even count (pack_and_gather pairs consecutive rows —
+    must match rans_encode_tiled's buffer exactly)."""
+    r = tile * (group_lanes if group_lanes else G) // 128
+    return r + (r & 1)
 
 
 def _enc_row_idx(sizes_np, nb: int, NT: int, tile: int,
