@@ -119,12 +119,16 @@ def _as_symbols(data, alphabet: Optional[int]) -> tuple[np.ndarray, int]:
         arr = np.asarray(data)
     if arr.ndim != 1:
         arr = arr.reshape(-1)
-    if arr.size and int(arr.min()) < 0:
+    if arr.size and arr.dtype.kind != "u" and int(arr.min()) < 0:
         raise ConfigError("negative symbol indices")
     inferred = int(arr.max()) + 1 if arr.size else 1
     a = alphabet if alphabet is not None else max(inferred, 1)
     if inferred > a:
         raise ConfigError(f"symbol {inferred - 1} outside alphabet of {a}")
+    # keep narrow unsigned dtypes (byte corpora stay 1 B/sym end to end —
+    # a blanket int32 cast quadrupled host memory traffic at GB scale)
+    if arr.dtype in (np.uint8, np.uint16):
+        return arr, a
     return arr.astype(np.int32), a
 
 
@@ -307,7 +311,9 @@ def _encode_raw(symbols: np.ndarray, a: int, config: CodecConfig) -> bytes:
 
 
 def decode(blob: bytes, *, verify_checksums: bool = True) -> np.ndarray:
-    """Decompress a container back to the symbol array (int32).
+    """Decompress a container back to the symbol array (rans16: the
+    narrowest unsigned dtype covering the alphabet — uint8 for byte
+    corpora, avoiding two GB-scale widening copies; planar: int32).
 
     Raises typed errors on malformed input (InvalidHeader, ChecksumMismatch,
     TruncatedStream semantics become zero-padded windows caught by CRC) —

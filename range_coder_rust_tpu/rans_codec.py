@@ -283,6 +283,7 @@ def _pad_rows_device(data, pad_sym, *, rows, length):
 #: e2e run itself instead of inferring a floor from an isolated probe
 #: (VERDICT r4 item 2).  Enable with start_transfer_log().
 _XFER_LOG = None
+_XFER_THREADS: list = []
 
 
 def start_transfer_log() -> None:
@@ -291,8 +292,14 @@ def start_transfer_log() -> None:
 
 
 def stop_transfer_log():
-    """Return the accumulated (dir, t0, t1, nbytes) records and disable."""
+    """Return the accumulated (dir, t0, t1, nbytes) records and disable.
+    Joins any in-flight H2D completion probes first (they run on
+    background threads so the instrumentation does not serialize the
+    upload pipeline it is measuring)."""
     global _XFER_LOG
+    for th in _XFER_THREADS:
+        th.join(timeout=600)
+    _XFER_THREADS.clear()
     log, _XFER_LOG = _XFER_LOG, None
     return log or []
 
@@ -322,15 +329,24 @@ def _put(host_array):
         ds = list(ex.map(jnp.asarray, parts))
     out = jnp.concatenate(ds).reshape(shape)
     if _XFER_LOG is not None:
-        # force the upload to actually land before closing the interval:
+        # close the interval only when the upload has actually landed:
         # jnp.asarray returns before the tunnel transfer completes, so an
         # unforced timestamp reads fiction (measured "1.5 GB/s" H2D on a
         # 30-90 MB/s tunnel).  A 1-element fetch of the concatenated
-        # buffer depends on every chunk; a fetch cannot lie.  Only done
-        # under instrumentation — it adds a sync point the pipelined
-        # product path doesn't want.
-        np.asarray(out.ravel()[0:1])
-        _log_xfer("h2d", t0, _time.time(), host_array.nbytes)
+        # buffer depends on every chunk; a fetch cannot lie.  The probe
+        # runs on a BACKGROUND thread so the product pipeline keeps
+        # dispatching — stop_transfer_log() joins the probes.
+        import threading
+
+        nbytes = host_array.nbytes
+
+        def _probe():
+            np.asarray(out.ravel()[0:1])
+            _log_xfer("h2d", t0, _time.time(), nbytes)
+
+        th = threading.Thread(target=_probe, daemon=True)
+        th.start()
+        _XFER_THREADS.append(th)
     return out
 
 
@@ -602,11 +618,21 @@ def decode_groups(
     else:
         cum_vreg = jnp.asarray(prep_cum_vreg(
             np.concatenate([[0], np.cumsum(table_c)]).astype(np.uint32)))
-    gpc = _groups_per_call_dec(block_len, g)
+    # pipeline-friendly batches (the ENCODE bound, not the larger decode
+    # working-set bound): more, smaller batches let the double-buffered
+    # loop overlap batch i+1's stream upload with batch i's symbol fetch,
+    # which dominates end-to-end wall on slow links; the chain-interleave
+    # factor per batch shrinks accordingly (2 at flagship geometry) but
+    # the kernel is a few percent of e2e either way — the full-interleave
+    # kernel capability is what bench.py's device metric measures
+    # (staged with _groups_per_call_dec)
+    gpc = _groups_per_call(block_len, g)
     if NG <= gpc:
         return _decode_finish(
             _decode_batch(payloads, cum_vreg, a_count, block_len, g))
-    out = np.empty((NG * g, block_len), np.int32)
+    out = np.empty((NG * g, block_len),
+                   np.uint8 if a_count <= 256
+                   else np.uint16 if a_count <= 65536 else np.int32)
     bounds = [(s, min(s + gpc, NG)) for s in range(0, NG, gpc)]
 
     def dispatch(start, stop):
@@ -626,11 +652,13 @@ def decode_groups(
 
 
 def _decode_finish(handle) -> np.ndarray:
-    """Fetch + reshape one dispatched batch (blocks on the tunnel)."""
+    """Fetch + reshape one dispatched batch (blocks on the tunnel).
+    Keeps the kernel's narrow output dtype — widening to int32 cost two
+    extra GB-scale host copies per decoded gigabyte."""
     flat_dev, NG, g, block_len, trace = handle
     flat = _fetch(flat_dev)
     trace("decoded symbols fetched")
-    return flat.astype(np.int32).reshape(NG * g, block_len)
+    return flat.reshape(NG * g, block_len)
 
 
 def _stage_stream_windows(sizes: np.ndarray, region, g: int):
@@ -844,11 +872,14 @@ def encode(
     L = _shrink_lane_len(n, block_len, g)
     ng = max(1, math.ceil(n / (g * L)))
 
-    narrow = symbols if alphabet > 256 else symbols.astype(np.uint8)
-    data_dev = _put(narrow)  # the one upload of the corpus
+    narrow = (symbols if alphabet > 256
+              else symbols.astype(np.uint8, copy=False))
     from .models.table import build_table_pow2
 
     if per_group_tables:
+        # device path: per-group histograms want the data resident, and
+        # the one upload is amortized by the MXU histogram + kernels
+        data_dev = _put(narrow)
         # pad with the last data symbol: guaranteed present in the last
         # group's histogram (a zero-frequency pad would be uncodable)
         pad_symbol = int(symbols[-1]) if n else 0
@@ -864,18 +895,31 @@ def encode(
         payloads = encode_groups(padded, tables, L, sync_tiles, g)
         tables_c = np.stack([t.c for t in tables])
     else:
+        # HOST histogram + host padding: u8/u16 bincount costs ~0.3 s per
+        # 64 MB, and keeping the rows host-side lets encode_groups upload
+        # PER BATCH — its double-buffering then overlaps batch i+1's H2D
+        # with batch i's region fetch.  The round-3/4 design uploaded the
+        # whole corpus first (for the device histogram), serializing
+        # seconds of tunnel ahead of the pipeline.
         if table is None:
             if n == 0:
                 counts = np.ones(max(alphabet, 1), np.uint64)
             else:
-                counts = np.asarray(_histogram_device(
-                    data_dev, alphabet=alphabet)).astype(np.uint64)
+                hist_src = (narrow if narrow.dtype == np.uint8
+                            else narrow.astype(np.uint16, copy=False))
+                counts = np.zeros(alphabet, np.int64)
+                step = 1 << 28
+                for i in range(0, n, step):
+                    counts += np.bincount(
+                        hist_src[i : i + step],
+                        minlength=alphabet)[:alphabet]
+                counts = counts.astype(np.uint64)
             table = build_table_pow2(counts, 16)
         pad_symbol = int(np.argmax(table.c))
-        padded = _pad_rows_device(
-            data_dev, np.asarray(pad_symbol, narrow.dtype),
-            rows=ng * g, length=L)
-        payloads = encode_groups(padded, table, L, sync_tiles, g)
+        rows_host = np.full(ng * g * L, pad_symbol, narrow.dtype)
+        rows_host[:n] = narrow
+        payloads = encode_groups(
+            rows_host.reshape(ng * g, L), table, L, sync_tiles, g)
         tables_c = table.c
     return fmt.pack(
         k=16,
