@@ -89,10 +89,11 @@ def _groups_per_call(L: int, group_lanes: int = None) -> int:
 
 #: decode-side invocation bound: decode's working set per symbol is much
 #: leaner than encode's (no halfword-expanded tile blocks), and the
-#: chain-interleaved decode kernel wants >= 4-8 groups per call — 4x
-#: encode's symbol budget keeps multi-group batches at flagship geometry
-#: (2048 lanes x 65536 steps) without exceeding HBM
-_BATCH_SYMBOLS_DEC = 512 << 20
+#: chain-interleaved decode kernel wants 8 groups per call even at
+#: 65536-step lanes — ~7 GB of HBM at the 1 GB flagship batch (i32
+#: kernel output + padded windows + stream rows), well inside the v5e's
+#: 16 GB
+_BATCH_SYMBOLS_DEC = 1 << 30
 
 
 def _groups_per_call_dec(L: int, group_lanes: int = None) -> int:
