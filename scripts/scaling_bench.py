@@ -14,9 +14,13 @@ wall time necessarily grows ~N/cores; the scaling-relevant quantities are
   adds (target <= 1.1).  The hot loop has no collectives by design
   (parallel/dist.py): blocks are independent, tables replicated.
 
-Writes SCALING_r04.json.  Usage: python scripts/scaling_bench.py
+Writes SCALING_r05.json (MERGING into an existing file, so sections and
+the multihost record accumulate).  Usage: python scripts/scaling_bench.py
 Env: RC_SCALE_MB_PER_DEV (default 64), RC_SCALE_L (default 4096),
-RC_SCALE_REPS (default 2).
+RC_SCALE_REPS (default 2), RC_SCALE_SECTIONS (comma list of
+weak,samework,stages; default all — the timings are contention-sensitive
+on this 2-core host, so sections can be rerun individually on a quiet
+box).
 """
 
 from __future__ import annotations
@@ -205,51 +209,22 @@ def main():
     k = 16
     mb_per_dev = int(os.environ.get("RC_SCALE_MB_PER_DEV", "64"))
     reps = int(os.environ.get("RC_SCALE_REPS", "2"))
+    sections = set(os.environ.get(
+        "RC_SCALE_SECTIONS", "weak,samework,stages").split(","))
     bpd = (mb_per_dev << 20) // L
     cores = os.cpu_count() or 1
-    results = {}
-    # weak scaling: per-device work fixed at mb_per_dev
-    for n in (1, 2, 4, 8):
-        dt, _e, _d, n_sym = bench_n(n, bpd, L, k, reps)
-        results[n] = {"time_s": round(dt, 2), "symbols": n_sym,
-                      "mb_per_s": round(n_sym / dt / 1e6, 1)}
-        log(f"{n} dev: {dt:.2f} s for {n_sym >> 20} M syms (weak, "
-            f"{min(n, cores)}/{cores} cores busy)")
-    t1 = results[1]["time_s"]
-    for n, r in results.items():
-        # ideal weak time on this host: t(1) * (n devices / cores they run on)
-        ideal = t1 * n / min(n, cores)
-        r["efficiency_vs_core_limit"] = round(ideal / r["time_s"], 3)
 
-    # same TOTAL work: 1 device unsharded vs 8 devices sharded,
-    # stage-attributed (VERDICT r3 item 5)
-    dt1, e1, d1, n_sym = bench_n(1, bpd * 8, L, k, reps)
-    dt8, e8, d8, _ = bench_n(8, bpd, L, k, reps)
-    overhead = dt8 / dt1
-    log(f"8-dev sharded vs 1-dev unsharded, same {n_sym >> 20} M syms: "
-        f"{overhead:.3f}x (encode {e8 / e1:.3f}x, decode {d8 / d1:.3f}x)")
-
-    # control: the same sharding with a trivial op — the virtual-mesh
-    # scheduling floor on this oversubscribed host
-    c1 = bench_control(1, bpd * 8, L, reps)
-    c8 = bench_control(8, bpd, L, reps)
-    control = c8 / c1
-    log(f"control (trivial sharded op, same geometry): {control:.3f}x")
-
-    # per-stage decode attribution (smaller corpus: the scan stage is
-    # timed per stage, and 8x64 MB of scan at CPU speed would take hours)
-    stage_blocks = max(8, ((8 << 20) // L) // 8 * 8)
-    stage_table = decode_stage_table(stage_blocks, L, k, reps)
-    out = {
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))),
+        os.environ.get("RC_SCALE_OUT", "SCALING_r05.json"))
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    out.update({
         "metric": "weak-scaling (virtual 8-device CPU mesh)",
         "mb_per_device": mb_per_dev,
         "host_cores": cores,
-        "weak_scaling": results,
-        "overhead_vs_unsharded_same_work": round(overhead, 4),
-        "overhead_encode": round(e8 / e1, 4),
-        "overhead_decode": round(d8 / d1, 4),
-        "overhead_control_trivial_op": round(control, 4),
-        "decode_stage_table": stage_table,
         "note": ("virtual devices share this host's physical cores, so "
                  "weak-scaling wall time grows ~N/cores by construction; "
                  "the partitioning-cost signal is "
@@ -258,10 +233,52 @@ def main():
                  "parallel)"),
         "block_len": L,
         "blocks_per_device": bpd,
-    }
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))),
-        os.environ.get("RC_SCALE_OUT", "SCALING_r05.json"))
+    })
+
+    if "weak" in sections:
+        results = {}
+        # weak scaling: per-device work fixed at mb_per_dev
+        for n in (1, 2, 4, 8):
+            dt, _e, _d, n_sym = bench_n(n, bpd, L, k, reps)
+            results[n] = {"time_s": round(dt, 2), "symbols": n_sym,
+                          "mb_per_s": round(n_sym / dt / 1e6, 1)}
+            log(f"{n} dev: {dt:.2f} s for {n_sym >> 20} M syms (weak, "
+                f"{min(n, cores)}/{cores} cores busy)")
+        t1 = results[1]["time_s"]
+        for n, r in results.items():
+            # ideal weak time on this host: t(1) * (devices / cores used)
+            ideal = t1 * n / min(n, cores)
+            r["efficiency_vs_core_limit"] = round(ideal / r["time_s"], 3)
+        out["weak_scaling"] = results
+
+    if "samework" in sections:
+        # same TOTAL work: 1 device unsharded vs 8 devices sharded,
+        # stage-attributed (VERDICT r3 item 5)
+        dt1, e1, d1, n_sym = bench_n(1, bpd * 8, L, k, reps)
+        dt8, e8, d8, _ = bench_n(8, bpd, L, k, reps)
+        overhead = dt8 / dt1
+        log(f"8-dev sharded vs 1-dev unsharded, same {n_sym >> 20} M "
+            f"syms: {overhead:.3f}x (encode {e8 / e1:.3f}x, decode "
+            f"{d8 / d1:.3f}x)")
+
+        # control: the same sharding with a trivial op — the virtual-mesh
+        # scheduling floor on this oversubscribed host
+        c1 = bench_control(1, bpd * 8, L, reps)
+        c8 = bench_control(8, bpd, L, reps)
+        control = c8 / c1
+        log(f"control (trivial sharded op, same geometry): {control:.3f}x")
+        out["overhead_vs_unsharded_same_work"] = round(overhead, 4)
+        out["overhead_encode"] = round(e8 / e1, 4)
+        out["overhead_decode"] = round(d8 / d1, 4)
+        out["overhead_control_trivial_op"] = round(control, 4)
+
+    if "stages" in sections:
+        # per-stage decode attribution (smaller corpus: the scan stage is
+        # timed per stage, and 8x64 MB of scan at CPU speed takes hours)
+        stage_blocks = max(8, ((8 << 20) // L) // 8 * 8)
+        out["decode_stage_table"] = decode_stage_table(
+            stage_blocks, L, k, reps)
+
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

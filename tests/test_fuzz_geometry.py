@@ -72,9 +72,22 @@ def _draw_case(rng):
 
 @pytest.mark.parametrize("shard", range(SHARDS))
 def test_fuzz_geometry(shard):
+    import gc
+
+    import jax
+
     rng = np.random.default_rng(0xF0220 + shard)
     per = -(-N_CASES // SHARDS)
     for case in range(per):
+        if case % 8 == 0:
+            # every case is a distinct geometry -> a distinct compiled
+            # executable (~350 mmap regions each, never evicted); without
+            # periodic eviction ~150 cases exhaust vm.max_map_count and
+            # XLA's next LLVM JIT mmap fails ("Cannot allocate memory"),
+            # taking the process down.  Reuse across cases is nil, so
+            # clearing costs nothing.
+            jax.clear_caches()
+            gc.collect()
         g, L, a, pgt, sync, data = _draw_case(rng)
         n = data.size
         label = (f"shard={shard} case={case} g={g} L={L} a={a} "
